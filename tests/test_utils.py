@@ -1,0 +1,70 @@
+import jax.numpy as jnp
+import numpy as np
+
+from emojivoice_tpu.utils import (
+    default_mel_buckets,
+    fix_len_compatibility,
+    generate_path,
+    intersperse,
+    pick_bucket,
+    sequence_mask,
+)
+from emojivoice_tpu.utils.norm import denormalize, normalize
+
+
+def test_sequence_mask():
+    m = sequence_mask(jnp.array([2, 4, 0]), 5)
+    expect = np.array(
+        [[1, 1, 0, 0, 0], [1, 1, 1, 1, 0], [0, 0, 0, 0, 0]], dtype=bool
+    )
+    np.testing.assert_array_equal(np.asarray(m), expect)
+
+
+def test_fix_len_compatibility():
+    assert fix_len_compatibility(1) == 4
+    assert fix_len_compatibility(4) == 4
+    assert fix_len_compatibility(5) == 8
+    assert fix_len_compatibility(173) == 176
+
+
+def test_intersperse():
+    assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
+    assert intersperse([], 0) == [0]
+
+
+def test_generate_path():
+    # durations [2, 1, 3] over 6 mel frames
+    dur = jnp.array([[2.0, 1.0, 3.0]])
+    mask = jnp.ones((1, 3, 6))
+    path = np.asarray(generate_path(dur, mask))
+    expect = np.array(
+        [
+            [1, 1, 0, 0, 0, 0],
+            [0, 0, 1, 0, 0, 0],
+            [0, 0, 0, 1, 1, 1],
+        ],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(path[0], expect)
+
+
+def test_generate_path_masked():
+    dur = jnp.array([[2.0, 2.0, 0.0]])
+    mask = np.zeros((1, 3, 6), np.float32)
+    mask[0, :2, :4] = 1.0  # only 2 tokens, 4 frames valid
+    path = np.asarray(generate_path(dur, jnp.asarray(mask)))
+    assert path.sum() == 4
+    assert (path[0, 2] == 0).all()
+
+
+def test_buckets():
+    assert pick_bucket(100, default_mel_buckets()) == 128
+    assert pick_bucket(128, default_mel_buckets()) == 128
+    assert pick_bucket(129, default_mel_buckets()) == 256
+
+
+def test_normalize_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 7, 80)).astype(np.float32))
+    y = normalize(x, -5.5, 2.1)
+    z = denormalize(y, -5.5, 2.1)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-5)
