@@ -1,0 +1,63 @@
+"""WaveGlow-style spectral denoiser.
+
+Behavioral equivalent of the reference denoiser
+(reference: Matcha-TTS/matcha/hifigan/denoiser.py:7-64): probe the vocoder's
+bias by vocoding a zero (or noise) mel, take its magnitude spectrum at frame
+0, then at inference subtract ``bias · strength`` from each magnitude frame
+and resynthesize with the original phase.
+
+STFT convention here is the denoiser's own: n_fft 1024, hop n_fft/4 = 256,
+center=True (torch.stft defaults) — distinct from the mel-extraction STFT.
+The subtract→clamp→iSTFT chain runs inside the same XLA program as the
+vocoder call.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from emojivoice_tpu.ops.stft import istft, stft_magnitude_phase
+
+
+class Denoiser:
+    """Holds the probed bias spectrum; apply() is jit-safe."""
+
+    def __init__(
+        self,
+        vocoder_apply,
+        filter_length: int = 1024,
+        n_overlap: int = 4,
+        win_length: int = 1024,
+        mode: str = "zeros",
+        num_mels: int = 80,
+        rng=None,
+    ):
+        self.filter_length = filter_length
+        self.hop_length = filter_length // n_overlap
+        self.win_length = win_length
+
+        if mode == "zeros":
+            mel_input = jnp.zeros((1, 88, num_mels), jnp.float32)
+        elif mode == "normal":
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            mel_input = jax.random.normal(rng, (1, 88, num_mels), jnp.float32)
+        else:
+            raise ValueError(f"Mode {mode} is not supported")
+
+        bias_audio = vocoder_apply(mel_input)  # (1, L)
+        bias_spec, _ = stft_magnitude_phase(
+            bias_audio, filter_length, self.hop_length, win_length, center=True
+        )  # (1, T, F)
+        # frame 0 only, like the reference (denoiser.py:56)
+        self.bias_spec = bias_spec[:, 0:1, :]  # (1, 1, F)
+
+    def __call__(self, audio: jnp.ndarray, strength: float = 0.0005) -> jnp.ndarray:
+        """audio (B, L) → denoised audio (B, L') with L' = hop·(n_frames−1)."""
+        spec, phase = stft_magnitude_phase(
+            audio, self.filter_length, self.hop_length, self.win_length, center=True
+        )
+        spec = jnp.maximum(spec - self.bias_spec * strength, 0.0)
+        denoised = spec * jnp.cos(phase) + 1j * spec * jnp.sin(phase)
+        return istft(denoised, self.filter_length, self.hop_length, self.win_length, center=True)
