@@ -1,0 +1,455 @@
+"""Import PyTorch reference checkpoints into our parameter trees.
+
+The released emojivoice voices (Paige/Olivia/Zach — reference /README.md:51-57)
+are Lightning checkpoints of the reference MatchaTTS; the vocoders
+(hifigan_T2_v1 / hifigan_univ_v1) are raw ``{"generator": state_dict}``
+dumps with weight norm (reference: matcha/hifigan/xutils.py:39-45,
+cli.py:84-107).  This module:
+
+* reads either with the torch-free zip-pickle reader (io/torch_pickle.py);
+* transposes torch layouts into our channels-last layouts once at load
+  time — ``Conv1d (out,in,k) → (k,in,out)``, ``Linear/1×1-conv → (in,out)``,
+  ``ConvTranspose1d (in,out,k) → (k,in,out)``;
+* folds HiFi-GAN weight norm into plain kernels (the reference does the
+  same at load via remove_weight_norm, hifigan/models.py:199-206);
+* infers the ModelConfig from tensor shapes (Lightning hyper_parameters
+  need omegaconf to unpickle; shapes are authoritative anyway).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from emojivoice_tpu import config as cfglib
+from emojivoice_tpu.io.torch_pickle import flatten_state_dict, load_torch_file
+
+
+# ---------------------------------------------------------------------------
+# layout transforms (torch → ours)
+# ---------------------------------------------------------------------------
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """Conv1d (out, in, k) → (k, in, out)."""
+    return np.ascontiguousarray(w.transpose(2, 1, 0))
+
+
+def _convt_w(w: np.ndarray) -> np.ndarray:
+    """ConvTranspose1d (in, out, k) → (k, in, out)."""
+    return np.ascontiguousarray(w.transpose(2, 0, 1))
+
+
+def _dense_w(w: np.ndarray) -> np.ndarray:
+    """Linear (out, in) or 1×1 conv (out, in, 1) → (in, out)."""
+    if w.ndim == 3:
+        w = w[..., 0]
+    return np.ascontiguousarray(w.T)
+
+
+def fold_weight_norm_torch(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """weight_norm dim=0 fold in torch layout: w = g · v / ‖v‖ over dims≥1."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=axes, keepdims=True))
+    return (g.astype(np.float64) * v.astype(np.float64) / norm).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# generic loading
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Flat {name: ndarray} from a torch checkpoint.  Lightning checkpoints
+    are unwrapped to their 'state_dict'; HiFi-GAN dumps to 'generator'."""
+    obj = load_torch_file(path)
+    if isinstance(obj, dict):
+        if "state_dict" in obj:
+            obj = obj["state_dict"]
+        elif "generator" in obj:
+            obj = obj["generator"]
+    flat = flatten_state_dict(obj)
+    return {k: np.asarray(v, dtype=np.float32) for k, v in flat.items() if isinstance(v, np.ndarray)}
+
+
+# ---------------------------------------------------------------------------
+# MatchaTTS
+# ---------------------------------------------------------------------------
+
+def infer_model_config_from_state_dict(sd: Dict[str, np.ndarray]) -> cfglib.ModelConfig:
+    """Re-derive the architecture from tensor shapes (checkpoint-authoritative)."""
+    n_vocab, n_channels = sd["encoder.emb.weight"].shape
+    n_spks, spk_emb_dim = sd["spk_emb.weight"].shape if "spk_emb.weight" in sd else (1, 64)
+    n_feats = sd["encoder.proj_m.weight"].shape[0]
+    filter_channels = sd["encoder.encoder.ffn_layers.0.conv_1.weight"].shape[0]
+    filter_channels_dp = sd["encoder.proj_w.conv_1.weight"].shape[0]
+    enc_kernel = sd["encoder.encoder.ffn_layers.0.conv_1.weight"].shape[2]
+    dp_kernel = sd["encoder.proj_w.conv_1.weight"].shape[2]
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in sd if k.startswith("encoder.encoder.attn_layers.")
+    )
+    prenet = any(k.startswith("encoder.prenet.conv_layers") for k in sd)
+
+    n_down = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("decoder.estimator.down_blocks."))
+    channels = tuple(
+        sd[f"decoder.estimator.down_blocks.{i}.0.block1.block.0.weight"].shape[0] for i in range(n_down)
+    )
+    num_mid = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("decoder.estimator.mid_blocks."))
+    head_dim_times_heads = sd["decoder.estimator.down_blocks.0.1.0.attn1.to_q.weight"].shape[0]
+    # reference default: head_dim 64 (configs/model/decoder/default.yaml)
+    attention_head_dim = 64 if head_dim_times_heads % 64 == 0 else head_dim_times_heads
+    num_heads = head_dim_times_heads // attention_head_dim
+    n_blocks = 1 + max(
+        int(k.split(".")[5]) for k in sd if k.startswith("decoder.estimator.down_blocks.0.1.")
+    )
+
+    stats = cfglib.DataStatistics(
+        mel_mean=float(sd.get("mel_mean", np.zeros(()))),
+        mel_std=float(sd.get("mel_std", np.ones(()))),
+    )
+    return cfglib.ModelConfig(
+        n_vocab=n_vocab,
+        n_spks=n_spks,
+        spk_emb_dim=spk_emb_dim,
+        n_feats=n_feats,
+        encoder=cfglib.EncoderConfig(
+            n_feats=n_feats,
+            n_channels=n_channels,
+            filter_channels=filter_channels,
+            n_heads=2,
+            n_layers=n_layers,
+            kernel_size=enc_kernel,
+            prenet=prenet,
+        ),
+        duration_predictor=cfglib.DurationPredictorConfig(
+            filter_channels_dp=filter_channels_dp, kernel_size=dp_kernel
+        ),
+        decoder=cfglib.DecoderConfig(
+            channels=channels,
+            attention_head_dim=attention_head_dim,
+            n_blocks=n_blocks,
+            num_mid_blocks=num_mid,
+            num_heads=num_heads,
+        ),
+        data_statistics=stats,
+    )
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_resnet(sd, tname: str, out: dict, opath: Tuple[str, ...]):
+    _set(out, opath + ("mlp", "kernel"), _dense_w(sd[f"{tname}.mlp.1.weight"]))
+    _set(out, opath + ("mlp", "bias"), sd[f"{tname}.mlp.1.bias"])
+    for blk in ("block1", "block2"):
+        _set(out, opath + (blk, "conv", "kernel"), _conv_w(sd[f"{tname}.{blk}.block.0.weight"]))
+        _set(out, opath + (blk, "conv", "bias"), sd[f"{tname}.{blk}.block.0.bias"])
+        _set(out, opath + (blk, "norm", "scale"), sd[f"{tname}.{blk}.block.1.weight"])
+        _set(out, opath + (blk, "norm", "bias"), sd[f"{tname}.{blk}.block.1.bias"])
+    _set(out, opath + ("res_conv", "kernel"), _dense_w(sd[f"{tname}.res_conv.weight"]))
+    _set(out, opath + ("res_conv", "bias"), sd[f"{tname}.res_conv.bias"])
+
+
+def _convert_tblock(sd, tname: str, out: dict, opath: Tuple[str, ...]):
+    for norm in ("norm1", "norm3"):
+        _set(out, opath + (norm, "scale"), sd[f"{tname}.{norm}.weight"])
+        _set(out, opath + (norm, "bias"), sd[f"{tname}.{norm}.bias"])
+    for proj in ("to_q", "to_k", "to_v"):
+        _set(out, opath + ("attn1", proj, "kernel"), _dense_w(sd[f"{tname}.attn1.{proj}.weight"]))
+    _set(out, opath + ("attn1", "to_out", "kernel"), _dense_w(sd[f"{tname}.attn1.to_out.0.weight"]))
+    _set(out, opath + ("attn1", "to_out", "bias"), sd[f"{tname}.attn1.to_out.0.bias"])
+    _set(out, opath + ("ff", "proj_in", "kernel"), _dense_w(sd[f"{tname}.ff.net.0.proj.weight"]))
+    _set(out, opath + ("ff", "proj_in", "bias"), sd[f"{tname}.ff.net.0.proj.bias"])
+    _set(out, opath + ("ff", "alpha"), sd[f"{tname}.ff.net.0.alpha"])
+    _set(out, opath + ("ff", "beta"), sd[f"{tname}.ff.net.0.beta"])
+    _set(out, opath + ("ff", "proj_out", "kernel"), _dense_w(sd[f"{tname}.ff.net.2.weight"]))
+    _set(out, opath + ("ff", "proj_out", "bias"), sd[f"{tname}.ff.net.2.bias"])
+
+
+def convert_matcha_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[cfglib.ModelConfig] = None) -> dict:
+    """Torch MatchaTTS state dict → flax params tree (matches models/matcha.py)."""
+    if cfg is None:
+        cfg = infer_model_config_from_state_dict(sd)
+    out: dict = {}
+
+    if cfg.n_spks > 1:
+        _set(out, ("spk_emb", "embedding"), sd["spk_emb.weight"])
+
+    # ---- text encoder -----------------------------------------------------
+    _set(out, ("encoder", "emb", "embedding"), sd["encoder.emb.weight"])
+    if cfg.encoder.prenet:
+        for i in range(3):
+            _set(out, ("encoder", "prenet", f"conv_{i}", "kernel"),
+                 _conv_w(sd[f"encoder.prenet.conv_layers.{i}.weight"]))
+            _set(out, ("encoder", "prenet", f"conv_{i}", "bias"),
+                 sd[f"encoder.prenet.conv_layers.{i}.bias"])
+            _set(out, ("encoder", "prenet", f"norm_{i}", "gamma"),
+                 sd[f"encoder.prenet.norm_layers.{i}.gamma"])
+            _set(out, ("encoder", "prenet", f"norm_{i}", "beta"),
+                 sd[f"encoder.prenet.norm_layers.{i}.beta"])
+        _set(out, ("encoder", "prenet", "proj", "kernel"), _dense_w(sd["encoder.prenet.proj.weight"]))
+        _set(out, ("encoder", "prenet", "proj", "bias"), sd["encoder.prenet.proj.bias"])
+
+    for i in range(cfg.encoder.n_layers):
+        for proj in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            _set(out, ("encoder", "encoder", f"attn_{i}", proj, "kernel"),
+                 _dense_w(sd[f"encoder.encoder.attn_layers.{i}.{proj}.weight"]))
+            _set(out, ("encoder", "encoder", f"attn_{i}", proj, "bias"),
+                 sd[f"encoder.encoder.attn_layers.{i}.{proj}.bias"])
+        for our, theirs in (("norm1", "norm_layers_1"), ("norm2", "norm_layers_2")):
+            _set(out, ("encoder", "encoder", f"{our}_{i}", "gamma"),
+                 sd[f"encoder.encoder.{theirs}.{i}.gamma"])
+            _set(out, ("encoder", "encoder", f"{our}_{i}", "beta"),
+                 sd[f"encoder.encoder.{theirs}.{i}.beta"])
+        for c in ("conv_1", "conv_2"):
+            _set(out, ("encoder", "encoder", f"ffn_{i}", c, "kernel"),
+                 _conv_w(sd[f"encoder.encoder.ffn_layers.{i}.{c}.weight"]))
+            _set(out, ("encoder", "encoder", f"ffn_{i}", c, "bias"),
+                 sd[f"encoder.encoder.ffn_layers.{i}.{c}.bias"])
+
+    _set(out, ("encoder", "proj_m", "kernel"), _dense_w(sd["encoder.proj_m.weight"]))
+    _set(out, ("encoder", "proj_m", "bias"), sd["encoder.proj_m.bias"])
+    for c in ("conv_1", "conv_2"):
+        _set(out, ("encoder", "proj_w", c, "kernel"), _conv_w(sd[f"encoder.proj_w.{c}.weight"]))
+        _set(out, ("encoder", "proj_w", c, "bias"), sd[f"encoder.proj_w.{c}.bias"])
+    for n in ("norm_1", "norm_2"):
+        _set(out, ("encoder", "proj_w", n, "gamma"), sd[f"encoder.proj_w.{n}.gamma"])
+        _set(out, ("encoder", "proj_w", n, "beta"), sd[f"encoder.proj_w.{n}.beta"])
+    _set(out, ("encoder", "proj_w", "proj", "kernel"), _dense_w(sd["encoder.proj_w.proj.weight"]))
+    _set(out, ("encoder", "proj_w", "proj", "bias"), sd["encoder.proj_w.proj.bias"])
+
+    # ---- CFM estimator (U-Net) -------------------------------------------
+    est = "decoder.estimator"
+    for lin in ("linear_1", "linear_2"):
+        _set(out, ("decoder", "estimator", "time_mlp", lin, "kernel"),
+             _dense_w(sd[f"{est}.time_mlp.{lin}.weight"]))
+        _set(out, ("decoder", "estimator", "time_mlp", lin, "bias"), sd[f"{est}.time_mlp.{lin}.bias"])
+
+    n_down = len(cfg.decoder.channels)
+    for i in range(n_down):
+        _convert_resnet(sd, f"{est}.down_blocks.{i}.0", out, ("decoder", "estimator", f"down_{i}_resnet"))
+        for j in range(cfg.decoder.n_blocks):
+            _convert_tblock(sd, f"{est}.down_blocks.{i}.1.{j}", out,
+                            ("decoder", "estimator", f"down_{i}_tblock_{j}"))
+        ds = f"{est}.down_blocks.{i}.2"
+        w_key = f"{ds}.conv.weight" if f"{ds}.conv.weight" in sd else f"{ds}.weight"
+        b_key = f"{ds}.conv.bias" if f"{ds}.conv.bias" in sd else f"{ds}.bias"
+        _set(out, ("decoder", "estimator", f"down_{i}_downsample", "kernel"), _conv_w(sd[w_key]))
+        _set(out, ("decoder", "estimator", f"down_{i}_downsample", "bias"), sd[b_key])
+
+    for i in range(cfg.decoder.num_mid_blocks):
+        _convert_resnet(sd, f"{est}.mid_blocks.{i}.0", out, ("decoder", "estimator", f"mid_{i}_resnet"))
+        for j in range(cfg.decoder.n_blocks):
+            _convert_tblock(sd, f"{est}.mid_blocks.{i}.1.{j}", out,
+                            ("decoder", "estimator", f"mid_{i}_tblock_{j}"))
+
+    for i in range(n_down):
+        _convert_resnet(sd, f"{est}.up_blocks.{i}.0", out, ("decoder", "estimator", f"up_{i}_resnet"))
+        for j in range(cfg.decoder.n_blocks):
+            _convert_tblock(sd, f"{est}.up_blocks.{i}.1.{j}", out,
+                            ("decoder", "estimator", f"up_{i}_tblock_{j}"))
+        us = f"{est}.up_blocks.{i}.2"
+        if f"{us}.conv.weight" in sd:  # ConvTranspose1d inside Upsample1D
+            _set(out, ("decoder", "estimator", f"up_{i}_upsample", "kernel"),
+                 _convt_w(sd[f"{us}.conv.weight"]))
+            _set(out, ("decoder", "estimator", f"up_{i}_upsample", "bias"), sd[f"{us}.conv.bias"])
+        else:  # plain Conv1d on the last stage
+            _set(out, ("decoder", "estimator", f"up_{i}_upsample", "kernel"), _conv_w(sd[f"{us}.weight"]))
+            _set(out, ("decoder", "estimator", f"up_{i}_upsample", "bias"), sd[f"{us}.bias"])
+
+    _set(out, ("decoder", "estimator", "final_block", "conv", "kernel"),
+         _conv_w(sd[f"{est}.final_block.block.0.weight"]))
+    _set(out, ("decoder", "estimator", "final_block", "conv", "bias"), sd[f"{est}.final_block.block.0.bias"])
+    _set(out, ("decoder", "estimator", "final_block", "norm", "scale"), sd[f"{est}.final_block.block.1.weight"])
+    _set(out, ("decoder", "estimator", "final_block", "norm", "bias"), sd[f"{est}.final_block.block.1.bias"])
+    _set(out, ("decoder", "estimator", "final_proj", "kernel"), _dense_w(sd[f"{est}.final_proj.weight"]))
+    _set(out, ("decoder", "estimator", "final_proj", "bias"), sd[f"{est}.final_proj.bias"])
+
+    return {"params": out}
+
+
+def load_matcha_params(path: str) -> Tuple[dict, cfglib.ModelConfig]:
+    sd = load_torch_state_dict(path)
+    cfg = infer_model_config_from_state_dict(sd)
+    return convert_matcha_state_dict(sd, cfg), cfg
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN
+# ---------------------------------------------------------------------------
+
+def _folded(sd: Dict[str, np.ndarray], name: str) -> np.ndarray:
+    if f"{name}.weight_g" in sd:
+        return fold_weight_norm_torch(sd[f"{name}.weight_g"], sd[f"{name}.weight_v"])
+    return sd[f"{name}.weight"]
+
+
+def convert_hifigan_state_dict(
+    sd: Dict[str, np.ndarray], cfg: Optional[cfglib.HiFiGANConfig] = None
+) -> dict:
+    if cfg is None:
+        cfg = cfglib.HiFiGANConfig()
+    out: dict = {}
+    _set(out, ("conv_pre", "kernel"), _conv_w(_folded(sd, "conv_pre")))
+    _set(out, ("conv_pre", "bias"), sd["conv_pre.bias"])
+
+    n_up = len(cfg.upsample_rates)
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    for i in range(n_up):
+        _set(out, (f"ups_{i}", "kernel"), _convt_w(_folded(sd, f"ups.{i}")))
+        _set(out, (f"ups_{i}", "bias"), sd[f"ups.{i}.bias"])
+    for n in range(n_up * num_kernels):
+        # ResBlock1 has convs1/convs2; ResBlock2 has a single convs list
+        for group in ("convs1", "convs2", "convs"):
+            j = 0
+            while f"resblocks.{n}.{group}.{j}.bias" in sd or f"resblocks.{n}.{group}.{j}.weight_g" in sd:
+                _set(out, (f"resblocks_{n}", f"{group}_{j}", "kernel"),
+                     _conv_w(_folded(sd, f"resblocks.{n}.{group}.{j}")))
+                _set(out, (f"resblocks_{n}", f"{group}_{j}", "bias"), sd[f"resblocks.{n}.{group}.{j}.bias"])
+                j += 1
+    _set(out, ("conv_post", "kernel"), _conv_w(_folded(sd, "conv_post")))
+    _set(out, ("conv_post", "bias"), sd["conv_post.bias"])
+    return {"params": out}
+
+
+def load_hifigan_params(path: str, cfg: Optional[cfglib.HiFiGANConfig] = None) -> dict:
+    return convert_hifigan_state_dict(load_torch_state_dict(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Export (ours → torch layouts/names) — interop in the other direction, and
+# the round-trip oracle for the converter tests.
+# ---------------------------------------------------------------------------
+
+def _inv_conv_w(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 1, 0))
+
+
+def _inv_convt_w(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(1, 2, 0))
+
+
+def _inv_dense_w(w: np.ndarray, as_conv1x1: bool = False) -> np.ndarray:
+    out = np.ascontiguousarray(np.asarray(w).T)
+    return out[..., None] if as_conv1x1 else out
+
+
+def export_matcha_state_dict(params: dict, cfg: cfglib.ModelConfig) -> Dict[str, np.ndarray]:
+    """Flax params tree → torch-named state dict (reference layouts)."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def np_(x):
+        return np.asarray(x, dtype=np.float32)
+
+    if cfg.n_spks > 1:
+        sd["spk_emb.weight"] = np_(p["spk_emb"]["embedding"])
+    enc = p["encoder"]
+    sd["encoder.emb.weight"] = np_(enc["emb"]["embedding"])
+    if cfg.encoder.prenet:
+        pre = enc["prenet"]
+        for i in range(3):
+            sd[f"encoder.prenet.conv_layers.{i}.weight"] = _inv_conv_w(pre[f"conv_{i}"]["kernel"])
+            sd[f"encoder.prenet.conv_layers.{i}.bias"] = np_(pre[f"conv_{i}"]["bias"])
+            sd[f"encoder.prenet.norm_layers.{i}.gamma"] = np_(pre[f"norm_{i}"]["gamma"])
+            sd[f"encoder.prenet.norm_layers.{i}.beta"] = np_(pre[f"norm_{i}"]["beta"])
+        sd["encoder.prenet.proj.weight"] = _inv_dense_w(pre["proj"]["kernel"], as_conv1x1=True)
+        sd["encoder.prenet.proj.bias"] = np_(pre["proj"]["bias"])
+    for i in range(cfg.encoder.n_layers):
+        lay = enc["encoder"]
+        for proj in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            sd[f"encoder.encoder.attn_layers.{i}.{proj}.weight"] = _inv_dense_w(
+                lay[f"attn_{i}"][proj]["kernel"], as_conv1x1=True
+            )
+            sd[f"encoder.encoder.attn_layers.{i}.{proj}.bias"] = np_(lay[f"attn_{i}"][proj]["bias"])
+        for our, theirs in (("norm1", "norm_layers_1"), ("norm2", "norm_layers_2")):
+            sd[f"encoder.encoder.{theirs}.{i}.gamma"] = np_(lay[f"{our}_{i}"]["gamma"])
+            sd[f"encoder.encoder.{theirs}.{i}.beta"] = np_(lay[f"{our}_{i}"]["beta"])
+        for c in ("conv_1", "conv_2"):
+            sd[f"encoder.encoder.ffn_layers.{i}.{c}.weight"] = _inv_conv_w(lay[f"ffn_{i}"][c]["kernel"])
+            sd[f"encoder.encoder.ffn_layers.{i}.{c}.bias"] = np_(lay[f"ffn_{i}"][c]["bias"])
+    sd["encoder.proj_m.weight"] = _inv_dense_w(enc["proj_m"]["kernel"], as_conv1x1=True)
+    sd["encoder.proj_m.bias"] = np_(enc["proj_m"]["bias"])
+    pw = enc["proj_w"]
+    for c in ("conv_1", "conv_2"):
+        sd[f"encoder.proj_w.{c}.weight"] = _inv_conv_w(pw[c]["kernel"])
+        sd[f"encoder.proj_w.{c}.bias"] = np_(pw[c]["bias"])
+    for n in ("norm_1", "norm_2"):
+        sd[f"encoder.proj_w.{n}.gamma"] = np_(pw[n]["gamma"])
+        sd[f"encoder.proj_w.{n}.beta"] = np_(pw[n]["beta"])
+    sd["encoder.proj_w.proj.weight"] = _inv_dense_w(pw["proj"]["kernel"], as_conv1x1=True)
+    sd["encoder.proj_w.proj.bias"] = np_(pw["proj"]["bias"])
+
+    est = p["decoder"]["estimator"]
+    for lin in ("linear_1", "linear_2"):
+        sd[f"decoder.estimator.time_mlp.{lin}.weight"] = _inv_dense_w(est["time_mlp"][lin]["kernel"])
+        sd[f"decoder.estimator.time_mlp.{lin}.bias"] = np_(est["time_mlp"][lin]["bias"])
+
+    def export_resnet(ours: dict, tname: str):
+        sd[f"{tname}.mlp.1.weight"] = _inv_dense_w(ours["mlp"]["kernel"])
+        sd[f"{tname}.mlp.1.bias"] = np_(ours["mlp"]["bias"])
+        for blk in ("block1", "block2"):
+            sd[f"{tname}.{blk}.block.0.weight"] = _inv_conv_w(ours[blk]["conv"]["kernel"])
+            sd[f"{tname}.{blk}.block.0.bias"] = np_(ours[blk]["conv"]["bias"])
+            sd[f"{tname}.{blk}.block.1.weight"] = np_(ours[blk]["norm"]["scale"])
+            sd[f"{tname}.{blk}.block.1.bias"] = np_(ours[blk]["norm"]["bias"])
+        sd[f"{tname}.res_conv.weight"] = _inv_dense_w(ours["res_conv"]["kernel"], as_conv1x1=True)
+        sd[f"{tname}.res_conv.bias"] = np_(ours["res_conv"]["bias"])
+
+    def export_tblock(ours: dict, tname: str):
+        for norm in ("norm1", "norm3"):
+            sd[f"{tname}.{norm}.weight"] = np_(ours[norm]["scale"])
+            sd[f"{tname}.{norm}.bias"] = np_(ours[norm]["bias"])
+        for proj in ("to_q", "to_k", "to_v"):
+            sd[f"{tname}.attn1.{proj}.weight"] = _inv_dense_w(ours["attn1"][proj]["kernel"])
+        sd[f"{tname}.attn1.to_out.0.weight"] = _inv_dense_w(ours["attn1"]["to_out"]["kernel"])
+        sd[f"{tname}.attn1.to_out.0.bias"] = np_(ours["attn1"]["to_out"]["bias"])
+        sd[f"{tname}.ff.net.0.proj.weight"] = _inv_dense_w(ours["ff"]["proj_in"]["kernel"])
+        sd[f"{tname}.ff.net.0.proj.bias"] = np_(ours["ff"]["proj_in"]["bias"])
+        sd[f"{tname}.ff.net.0.alpha"] = np_(ours["ff"]["alpha"])
+        sd[f"{tname}.ff.net.0.beta"] = np_(ours["ff"]["beta"])
+        sd[f"{tname}.ff.net.2.weight"] = _inv_dense_w(ours["ff"]["proj_out"]["kernel"])
+        sd[f"{tname}.ff.net.2.bias"] = np_(ours["ff"]["proj_out"]["bias"])
+
+    n_down = len(cfg.decoder.channels)
+    for i in range(n_down):
+        export_resnet(est[f"down_{i}_resnet"], f"decoder.estimator.down_blocks.{i}.0")
+        for j in range(cfg.decoder.n_blocks):
+            export_tblock(est[f"down_{i}_tblock_{j}"], f"decoder.estimator.down_blocks.{i}.1.{j}")
+        if i < n_down - 1:
+            sd[f"decoder.estimator.down_blocks.{i}.2.conv.weight"] = _inv_conv_w(
+                est[f"down_{i}_downsample"]["kernel"])
+            sd[f"decoder.estimator.down_blocks.{i}.2.conv.bias"] = np_(est[f"down_{i}_downsample"]["bias"])
+        else:
+            sd[f"decoder.estimator.down_blocks.{i}.2.weight"] = _inv_conv_w(
+                est[f"down_{i}_downsample"]["kernel"])
+            sd[f"decoder.estimator.down_blocks.{i}.2.bias"] = np_(est[f"down_{i}_downsample"]["bias"])
+    for i in range(cfg.decoder.num_mid_blocks):
+        export_resnet(est[f"mid_{i}_resnet"], f"decoder.estimator.mid_blocks.{i}.0")
+        for j in range(cfg.decoder.n_blocks):
+            export_tblock(est[f"mid_{i}_tblock_{j}"], f"decoder.estimator.mid_blocks.{i}.1.{j}")
+    for i in range(n_down):
+        export_resnet(est[f"up_{i}_resnet"], f"decoder.estimator.up_blocks.{i}.0")
+        for j in range(cfg.decoder.n_blocks):
+            export_tblock(est[f"up_{i}_tblock_{j}"], f"decoder.estimator.up_blocks.{i}.1.{j}")
+        if i < n_down - 1:
+            sd[f"decoder.estimator.up_blocks.{i}.2.conv.weight"] = _inv_convt_w(
+                est[f"up_{i}_upsample"]["kernel"])
+            sd[f"decoder.estimator.up_blocks.{i}.2.conv.bias"] = np_(est[f"up_{i}_upsample"]["bias"])
+        else:
+            sd[f"decoder.estimator.up_blocks.{i}.2.weight"] = _inv_conv_w(est[f"up_{i}_upsample"]["kernel"])
+            sd[f"decoder.estimator.up_blocks.{i}.2.bias"] = np_(est[f"up_{i}_upsample"]["bias"])
+
+    sd["decoder.estimator.final_block.block.0.weight"] = _inv_conv_w(est["final_block"]["conv"]["kernel"])
+    sd["decoder.estimator.final_block.block.0.bias"] = np_(est["final_block"]["conv"]["bias"])
+    sd["decoder.estimator.final_block.block.1.weight"] = np_(est["final_block"]["norm"]["scale"])
+    sd["decoder.estimator.final_block.block.1.bias"] = np_(est["final_block"]["norm"]["bias"])
+    sd["decoder.estimator.final_proj.weight"] = _inv_dense_w(est["final_proj"]["kernel"], as_conv1x1=True)
+    sd["decoder.estimator.final_proj.bias"] = np_(est["final_proj"]["bias"])
+
+    sd["mel_mean"] = np.asarray(cfg.data_statistics.mel_mean, np.float32)
+    sd["mel_std"] = np.asarray(cfg.data_statistics.mel_std, np.float32)
+    return sd
