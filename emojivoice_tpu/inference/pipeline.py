@@ -1,0 +1,292 @@
+"""End-to-end synthesis pipeline: text → waveform, compiled.
+
+This is the TPU-native replacement for the reference's eager chain
+``process_text → MatchaTTS.synthesise → HiFiGAN → Denoiser``
+(reference: Matcha-TTS/matcha/cli.py:38-64,121-126,389-425 and
+synthesis.ipynb).  Design:
+
+* **Two-stage bucketed programs** (default): stage A (text bucket) runs the
+  encoder + duration head; the host reads the predicted mel length — the one
+  unavoidable host sync, which the reference also has as ``.item()``
+  (matcha_tts.py:124-126) — picks a mel bucket, and stage B
+  (text × mel bucket) runs alignment expansion + unrolled Euler CFM +
+  HiFi-GAN + denoiser as ONE fused XLA program ending in the waveform.
+* **Fused single program** (``fused=True``): everything including duration →
+  one program at a fixed mel capacity; zero host syncs in the loop — the
+  mode the driver benchmarks.
+* Compiled programs are cached per bucket; recompiles are bounded by
+  ``len(text_buckets) × len(mel_buckets)``.
+
+RTF accounting matches the reference formulas exactly
+(mel: matcha_tts.py:142-143; end-to-end: cli.py:301-302).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emojivoice_tpu import config as cfglib
+from emojivoice_tpu import text as textlib
+from emojivoice_tpu.models import MatchaTTS
+from emojivoice_tpu.utils.buckets import default_mel_buckets, default_text_buckets, pick_bucket
+from emojivoice_tpu.utils.masks import intersperse
+from emojivoice_tpu.utils.masks import fix_len_compatibility
+from emojivoice_tpu.vocoder import Denoiser, HiFiGANGenerator
+
+HOP_LENGTH = 256
+SAMPLE_RATE = 22050
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    wav: np.ndarray  # (samples,) float32 in [-1, 1]
+    mel: np.ndarray  # (T_mel, n_feats), denormalized
+    mel_length: int
+    rtf: float  # acoustic-only, reference formula
+    rtf_w: float  # with vocoder
+    cleaned_text: str = ""
+    sample_rate: int = SAMPLE_RATE
+
+
+class SynthesisPipeline:
+    def __init__(
+        self,
+        model_cfg: cfglib.ModelConfig,
+        params: dict,
+        vocoder_cfg: Optional[cfglib.HiFiGANConfig] = None,
+        vocoder_params: Optional[dict] = None,
+        denoiser_mode: str = "zeros",
+        text_buckets: Sequence[int] = None,
+        mel_buckets: Sequence[int] = None,
+        cleaners: Sequence[str] = ("english_cleaners2",),
+        compute_dtype=jnp.float32,
+    ):
+        self.model_cfg = model_cfg
+        self.model = MatchaTTS(cfg=model_cfg)
+        self.params = params
+        self.vocoder_cfg = vocoder_cfg
+        self.vocoder = HiFiGANGenerator(cfg=vocoder_cfg) if vocoder_cfg is not None else None
+        self.vocoder_params = vocoder_params
+        self.text_buckets = tuple(text_buckets or default_text_buckets())
+        self.mel_buckets = tuple(mel_buckets or default_mel_buckets())
+        self.cleaners = tuple(cleaners)
+        self.compute_dtype = compute_dtype
+        self.denoiser = None
+        if self.vocoder is not None:
+            self.denoiser = Denoiser(
+                lambda m: self.vocoder.apply(self.vocoder_params, m),
+                mode=denoiser_mode,
+                num_mels=model_cfg.n_feats,
+            )
+        self._stage_a = {}
+        self._stage_b = {}
+        self._fused = {}
+
+    # ------------------------------------------------------------------ #
+    # constructors
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_torch_checkpoints(cls, matcha_ckpt: str, vocoder_ckpt: Optional[str] = None, **kw):
+        """Load the released PyTorch checkpoints (Paige/Olivia/Zach +
+        hifigan_univ_v1) directly (reference analog: cli.py:110-118,84-107)."""
+        from emojivoice_tpu.io.torch_ckpt import load_hifigan_params, load_matcha_params
+
+        params, model_cfg = load_matcha_params(matcha_ckpt)
+        voc_cfg = voc_params = None
+        if vocoder_ckpt is not None:
+            voc_cfg = cfglib.HiFiGANConfig()
+            voc_params = load_hifigan_params(vocoder_ckpt, voc_cfg)
+        return cls(model_cfg, params, voc_cfg, voc_params, **kw)
+
+    @classmethod
+    def from_random(cls, root_cfg: Optional[cfglib.RootConfig] = None, seed: int = 0, with_vocoder=True, **kw):
+        """Random-init pipeline (tests/benchmarks without released weights)."""
+        root_cfg = root_cfg or cfglib.get_preset("emoji_multi")
+        model = MatchaTTS(cfg=root_cfg.model)
+        rng = jax.random.PRNGKey(seed)
+        x = jnp.ones((1, 8), jnp.int32)
+        y = jnp.zeros((1, 16, root_cfg.model.n_feats))
+        spks = jnp.array([0]) if root_cfg.model.n_spks > 1 else None
+        params = model.init({"params": rng, "dropout": rng}, x, jnp.array([8]), y, jnp.array([16]),
+                            spks, rng=rng)
+        voc_cfg = voc_params = None
+        if with_vocoder:
+            voc_cfg = root_cfg.vocoder
+            voc = HiFiGANGenerator(cfg=voc_cfg)
+            voc_params = voc.init(jax.random.PRNGKey(seed + 1), jnp.zeros((1, 8, root_cfg.model.n_feats)))
+        return cls(root_cfg.model, params, voc_cfg, voc_params, **kw)
+
+    # ------------------------------------------------------------------ #
+    # compiled stages
+    # ------------------------------------------------------------------ #
+
+    def _get_stage_a(self, t_bucket: int, batch: int):
+        key = (t_bucket, batch)
+        if key not in self._stage_a:
+
+            @jax.jit
+            def stage_a(params, x, x_lengths, spks, length_scale):
+                return self.model.apply(
+                    params, x, x_lengths, spks, length_scale, method=MatchaTTS.encode_text
+                )
+
+            self._stage_a[key] = stage_a
+        return self._stage_a[key]
+
+    def _get_stage_b(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool):
+        key = (t_bucket, m_bucket, batch, n_timesteps, denoise)
+        if key not in self._stage_b:
+
+            @jax.jit
+            def stage_b(params, voc_params, mu_x, w_ceil, y_lengths, x_mask, spk_e, temperature, rng,
+                        denoiser_strength):
+                out = self.model.apply(
+                    params, mu_x, w_ceil, y_lengths, x_mask, spk_e, m_bucket, n_timesteps,
+                    temperature, rng, method=MatchaTTS.decode_mel,
+                )
+                res = dict(out)
+                if self.vocoder is not None:
+                    wav = self.vocoder.apply(voc_params, out["mel"])
+                    if denoise:
+                        wav = self.denoiser(wav, denoiser_strength)
+                    res["wav"] = wav
+                return res
+
+            self._stage_b[key] = stage_b
+        return self._stage_b[key]
+
+    def _get_fused(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool):
+        key = (t_bucket, m_bucket, batch, n_timesteps, denoise)
+        if key not in self._fused:
+
+            @jax.jit
+            def fused(params, voc_params, x, x_lengths, spks, length_scale, temperature, rng,
+                      denoiser_strength):
+                out = self.model.apply(
+                    params, x, x_lengths, m_bucket, n_timesteps, temperature, spks, length_scale,
+                    rng, method=MatchaTTS.synthesise,
+                )
+                res = dict(out)
+                if self.vocoder is not None:
+                    wav = self.vocoder.apply(voc_params, out["mel"])
+                    if denoise:
+                        wav = self.denoiser(wav, denoiser_strength)
+                    res["wav"] = wav
+                return res
+
+            self._fused[key] = fused
+        return self._fused[key]
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+
+    def encode_texts(self, texts: Sequence[str], language: Optional[str] = None):
+        """Host-side text processing for a padded batch."""
+        cleaners = self.cleaners
+        if language is not None:
+            from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+            if language not in LANGUAGE_CLEANERS:
+                raise KeyError(f"Unknown language {language!r}; available: {sorted(LANGUAGE_CLEANERS)}")
+            cleaners = (LANGUAGE_CLEANERS[language].__name__,)
+        seqs, lengths, cleaned = [], [], []
+        for t in texts:
+            ids, c = textlib.text_to_sequence(t, cleaners)
+            ids = intersperse(ids, 0)
+            seqs.append(ids)
+            lengths.append(len(ids))
+            cleaned.append(c)
+        t_bucket = pick_bucket(max(lengths), self.text_buckets)
+        x = np.zeros((len(texts), t_bucket), np.int32)
+        for i, ids in enumerate(seqs):
+            x[i, : len(ids)] = ids
+        return jnp.asarray(x), jnp.asarray(np.asarray(lengths, np.int32)), cleaned, t_bucket
+
+    def synthesise(
+        self,
+        texts: Sequence[str],
+        spks: Optional[Sequence[int]] = None,
+        n_timesteps: int = 10,
+        temperature: float = 0.667,
+        length_scale: float = 1.0,
+        denoiser_strength: float = 0.00025,
+        language: Optional[str] = None,
+        seed: Optional[int] = None,
+        fused: bool = False,
+        fused_mel_bucket: Optional[int] = None,
+    ) -> list[SynthesisResult]:
+        """Synthesise a padded batch of texts (all 11 emoji voices in one
+        compiled call is `texts×11` with per-item spks — BASELINE config #2).
+        """
+        t0 = dt.datetime.now()
+        x, x_lengths, cleaned, t_bucket = self.encode_texts(texts, language)
+        b = x.shape[0]
+        spk_arr = None
+        if self.model_cfg.n_spks > 1:
+            spk_arr = jnp.asarray(np.asarray(spks if spks is not None else [0] * b, np.int32))
+        rng = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None else seed)
+        ls = jnp.float32(length_scale)
+        temp = jnp.float32(temperature)
+        denoise = self.denoiser is not None and denoiser_strength > 0
+
+        if fused:
+            m_bucket = fused_mel_bucket or self.mel_buckets[-1]
+            fn = self._get_fused(t_bucket, m_bucket, b, n_timesteps, denoise)
+            out = fn(self.params, self.vocoder_params, x, x_lengths, spk_arr, ls, temp, rng,
+                     jnp.float32(denoiser_strength))
+        else:
+            stage_a = self._get_stage_a(t_bucket, b)
+            mu_x, w_ceil, y_lengths, x_mask, spk_e = stage_a(self.params, x, x_lengths, spk_arr, ls)
+            y_len_max = int(jax.device_get(jnp.max(y_lengths)))  # the host sync
+            m_bucket = pick_bucket(fix_len_compatibility(y_len_max), self.mel_buckets)
+            stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise)
+            out = stage_b(self.params, self.vocoder_params, mu_x, w_ceil, y_lengths, x_mask, spk_e,
+                          temp, rng, jnp.float32(denoiser_strength))
+
+        out = jax.device_get(out)  # blocks until the program finishes
+        t_done = dt.datetime.now()
+
+        results = []
+        mel_lengths = np.asarray(out["mel_lengths"])
+        # acoustic and vocoder run fused in one program, so a single wall
+        # clock covers both; per-item RTF amortizes the batch (the reference
+        # computes batched RTF over the padded batch length, cli.py:301-302).
+        t_mel = t_total = (t_done - t0).total_seconds()
+        ups = self.vocoder_cfg.total_upsample if self.vocoder_cfg is not None else HOP_LENGTH
+        for i in range(b):
+            ml = int(mel_lengths[i])
+            mel = np.asarray(out["mel"][i][:ml])
+            wav = None
+            if "wav" in out:
+                # trim the padded-bucket waveform to the true mel length
+                # (reference: cli.py:306-311 trims by mel_lengths·256); the
+                # denoiser's iSTFT can shave a partial final frame.
+                wav = np.asarray(out["wav"][i][: ml * ups], np.float32)
+            # reference RTF formulas (matcha_tts.py:142-143, cli.py:301-302)
+            rtf = t_mel * SAMPLE_RATE / (ml * HOP_LENGTH) / b
+            rtf_w = (t_total * SAMPLE_RATE / len(wav) / b) if wav is not None else float("nan")
+            results.append(
+                SynthesisResult(
+                    wav=wav if wav is not None else np.zeros(0, np.float32),
+                    mel=mel,
+                    mel_length=ml,
+                    rtf=rtf,
+                    rtf_w=rtf_w,
+                    cleaned_text=cleaned[i],
+                )
+            )
+        return results
+
+    def warmup(self, n_timesteps: int = 10, batch: int = 1, fused: bool = False):
+        """Compile the common program(s) ahead of time."""
+        text = "a " * 10
+        self.synthesise([text] * batch, spks=[0] * batch if self.model_cfg.n_spks > 1 else None,
+                        n_timesteps=n_timesteps, seed=0, fused=fused)

@@ -1,0 +1,114 @@
+"""End-to-end pipeline + CLI tests (tiny configs for CPU speed)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from emojivoice_tpu import config as cfglib
+from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+from tests.test_models import tiny_cfg
+from tests.test_vocoder import tiny_hifigan
+
+
+def tiny_root():
+    model = dataclasses.replace(tiny_cfg(n_spks=4), n_feats=12)
+    voc = dataclasses.replace(tiny_hifigan(), num_mels=12)
+    return cfglib.RootConfig(model=model, vocoder=voc)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",), mel_buckets=(64, 128, 256), text_buckets=(64, 128)
+    )
+
+
+def test_single_utterance(pipe):
+    res = pipe.synthesise(["hello world"], spks=[1], n_timesteps=2, seed=0)[0]
+    assert res.mel.shape[1] == 12
+    assert res.mel_length > 0
+    assert res.wav.shape == (res.mel_length * 16,)  # tiny vocoder: ×16
+    assert np.isfinite(res.wav).all()
+    assert res.rtf > 0 and res.rtf_w > 0
+
+
+def test_batch_all_speakers(pipe):
+    """All speakers in one compiled padded-batch call (BASELINE config #2)."""
+    texts = ["hi there"] * 4
+    out = pipe.synthesise(texts, spks=[0, 1, 2, 3], n_timesteps=2, seed=0)
+    assert len(out) == 4
+    # different speakers give different audio
+    n = min(out[0].wav.shape[0], out[1].wav.shape[0])
+    assert n > 0
+    assert not np.allclose(out[0].wav[:n], out[1].wav[:n])
+
+
+def test_seed_reproducible(pipe):
+    a = pipe.synthesise(["same text"], spks=[2], n_timesteps=2, seed=42)[0]
+    b = pipe.synthesise(["same text"], spks=[2], n_timesteps=2, seed=42)[0]
+    np.testing.assert_array_equal(a.wav, b.wav)
+
+
+def test_fused_mode(pipe):
+    res = pipe.synthesise(["fused program"], spks=[1], n_timesteps=2, seed=0,
+                          fused=True, fused_mel_bucket=128)[0]
+    assert res.wav.size == res.mel_length * 16
+
+
+def test_program_cache_bounded(pipe):
+    pipe.synthesise(["one"], spks=[0], n_timesteps=2, seed=0)
+    n_before = len(pipe._stage_b)
+    pipe.synthesise(["two"], spks=[0], n_timesteps=2, seed=1)
+    assert len(pipe._stage_b) == n_before  # same buckets → no recompile
+
+
+def test_unknown_language_raises(pipe):
+    with pytest.raises(KeyError):
+        pipe.synthesise(["hello"], spks=[0], language="xx")
+
+
+def test_cli_text_mode(tmp_path, monkeypatch):
+    """CLI end-to-end with random init and a tiny config."""
+    from emojivoice_tpu.inference import cli as cli_mod
+
+    root = tiny_root()
+    monkeypatch.setattr(
+        cli_mod,
+        "_load_pipeline",
+        lambda args: SynthesisPipeline.from_random(root, cleaners=("basic_cleaners",),
+                                                   mel_buckets=(64, 128), text_buckets=(64,)),
+    )
+    rc = cli_mod.main([
+        "--random_init", "--text", "hello from the cli", "--steps", "2",
+        "--output_folder", str(tmp_path), "--seed", "0",
+    ])
+    assert rc == 0
+    wavs = list(tmp_path.glob("*.wav"))
+    pngs = list(tmp_path.glob("*.png"))
+    npys = list(tmp_path.glob("*.npy"))
+    assert len(wavs) == 1 and len(pngs) == 1 and len(npys) == 1
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(wavs[0])
+    assert sr == 22050 and data.size > 0
+
+
+def test_cli_file_mode_with_speakers(tmp_path, monkeypatch):
+    from emojivoice_tpu.inference import cli as cli_mod
+
+    root = tiny_root()
+    monkeypatch.setattr(
+        cli_mod,
+        "_load_pipeline",
+        lambda args: SynthesisPipeline.from_random(root, cleaners=("basic_cleaners",),
+                                                   mel_buckets=(64, 128), text_buckets=(64,)),
+    )
+    script = tmp_path / "script.txt"
+    script.write_text("first line|1\nsecond line|2\n")
+    out = tmp_path / "out"
+    rc = cli_mod.main(["--random_init", "--file", str(script), "--steps", "2",
+                       "--output_folder", str(out), "--seed", "0", "--batched"])
+    assert rc == 0
+    assert len(list(out.glob("*.wav"))) == 2
