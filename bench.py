@@ -1,0 +1,74 @@
+"""Benchmark: end-to-end synthesis RTF at 10 Euler ODE steps.
+
+Prints ONE JSON line:
+  {"metric": "rtf_e2e_10steps", "value": <median RTF>, "unit": "rtf",
+   "vs_baseline": <0.02 / value>}
+
+RTF = wall_seconds · 22050 / wav_samples (the reference's formula,
+Matcha-TTS/matcha/cli.py:301-302), measured over the production two-stage
+path (encoder program → host bucket pick → fused alignment+CFM+vocoder+
+denoiser program) on whatever backend jax selects (the driver runs this on
+one real TPU v5e chip).  Weights are random-init (released torch
+checkpoints are not present in this image) — compute is identical.
+
+vs_baseline > 1 means better (faster) than the BASELINE.md target RTF 0.02.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import sys
+
+
+def main() -> int:
+    import jax
+    import numpy as np
+
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+    text = (
+        "The quick brown fox jumped over the lazy dog, and everyone at the "
+        "party cheered loudly for the brave little robot."
+    )
+    steps = 10
+    spk = [79]  # 😎 in the emoji mapping
+
+    pipe = SynthesisPipeline.from_random(cleaners=("basic_cleaners",))
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}", file=sys.stderr)
+
+    # size the fused program's mel bucket from one two-stage run, then
+    # benchmark the single-dispatch fused program (production serving path)
+    t0 = dt.datetime.now()
+    first = pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=0, keep_mel=False)[0]
+    from emojivoice_tpu.utils.buckets import pick_bucket
+
+    m_bucket = pick_bucket(first.mel_length, pipe.mel_buckets)
+    print(f"[bench] two-stage compile+first run: {(dt.datetime.now() - t0).total_seconds():.1f}s, "
+          f"mel_len={first.mel_length} bucket={m_bucket}", file=sys.stderr)
+    t0 = dt.datetime.now()
+    pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=0, fused=True,
+                    fused_mel_bucket=m_bucket, keep_mel=False)
+    print(f"[bench] fused compile: {(dt.datetime.now() - t0).total_seconds():.1f}s", file=sys.stderr)
+
+    rtfs, secs = [], []
+    for i in range(10):
+        res = pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=i, fused=True,
+                              fused_mel_bucket=m_bucket, keep_mel=False)[0]
+        rtfs.append(res.rtf_w)
+        secs.append(len(res.wav) / res.sample_rate)
+    value = float(np.median(rtfs))
+    audio_s = float(np.mean(secs))
+    print(f"[bench] audio {audio_s:.2f}s/utt, RTFs={['%.4f' % r for r in rtfs]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rtf_e2e_10steps",
+        "value": round(value, 5),
+        "unit": "rtf",
+        "vs_baseline": round(0.02 / value, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,146 @@
+"""`emojivoice-feel-me` — the conversational agent loop.
+
+Behavioral equivalent of the reference's /feel_me.py: push-to-talk ASR →
+LLM with the emoji prompt → first-mapped-emoji voice selection → TTS →
+audio out, with in-memory chat history.  TPU-native differences: synthesis
+goes through the compiled SynthesisPipeline (warm programs, per-utterance
+speaker switch is just a different spk id into the same compiled call), and
+every external service is a pluggable adapter with a hermetic fallback, so
+the loop runs end-to-end in this image (console input + file audio sink +
+scripted LLM).
+
+Defaults mirror the reference operating point: 10 ODE steps, temperature
+0.667, speaking rate 0.8, denoiser 2.5e-4 (feel_me.py:71-77,185).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+from emojivoice_tpu.apps import adapters as ad
+from emojivoice_tpu.apps.emoji import EMOJI_MAPPING, EMOJI_MAPPING_MALE, parse_emoji_response
+
+# Reference system prompt (feel_me.py:38-62) — instructs exactly one
+# trailing emoji from the 11-voice set.
+PROMPT = """
+You are a robot designed to help humans
+
+Interaction Guidelines:
+- You are a robot who is playing a build a story game with a human. You will go back and forth each saying one sentence to build a story.
+- Provide expressive responses with only the following emotions : 😎🤔😍🤣🙂😮🙄😅😭😡😁.
+- Use short and simple responses to build the story.
+- Answers should be limited to one sentence.
+
+Emotions and Emojis:
+- At the end of each response add one of these emojis: 😎🤔😍🤣🙂😮🙄😅😭😡😁 that reflects the emotion of the the entire response.
+- Add only one emoji per response, at the end of the response.
+- If the phrase is neutral do not include an emoji
+- all other phrases must be chosen to reflect one of these emojis: 😎🤔😍🤣🙂😮🙄😅😭😡😁.
+- Do not use any emojis other than these: 😎🤔😍🤣🙂😮🙄😅😭😡😁
+
+Error Handling:
+- Avoid giving medical, legal, political, or financial advice. Recommend the user consult a professional instead. You can still talk about historic figures.
+
+Do not include in the response:
+- do not add robot sounds
+- do not use symbols such as () * % & - _
+- do not use new lines
+- do not add emojis other than: 😎🤔😍🤣🙂😮🙄😅😭😡😁
+"""
+
+
+class FeelMe:
+    def __init__(
+        self,
+        pipeline,
+        asr: Optional[ad.ASRAdapter] = None,
+        llm: Optional[ad.LLMAdapter] = None,
+        sink: Optional[ad.AudioSink] = None,
+        voice: str = "female",
+        steps: int = 10,
+        temperature: float = 0.667,
+        speaking_rate: float = 0.8,
+        denoiser_strength: float = 0.00025,
+        language: str = "en",
+        prompt: str = PROMPT,
+    ):
+        self.pipeline = pipeline
+        self.asr = asr or ad.default_asr()
+        self.llm = llm or ad.default_llm()
+        self.sink = sink or ad.default_audio_sink()
+        self.mapping = EMOJI_MAPPING if voice == "female" else EMOJI_MAPPING_MALE
+        self.steps = steps
+        self.temperature = temperature
+        self.speaking_rate = speaking_rate
+        self.denoiser_strength = denoiser_strength
+        self.language = language
+        self.prompt = prompt
+        self.history: List[dict] = []
+
+    def speak(self, text: str, spk: int):
+        res = self.pipeline.synthesise(
+            [text],
+            spks=[spk],
+            n_timesteps=self.steps,
+            temperature=self.temperature,
+            length_scale=self.speaking_rate,
+            denoiser_strength=self.denoiser_strength,
+            language=self.language,
+        )[0]
+        self.sink.play(res.wav, res.sample_rate)
+        return res
+
+    def turn(self, user_text: str) -> tuple[str, int, str]:
+        """One dialogue turn: user text → (llm reply, speaker id, spoken text)."""
+        response = self.llm.chat(self.prompt, self.history, user_text)
+        self.history.append({"role": "user", "content": user_text})
+        self.history.append({"role": "assistant", "content": response})
+        spk, text = parse_emoji_response(response, self.mapping)
+        spoken = text if text else "nice"  # reference: feel_me.py:315-317
+        self.speak(spoken, spk)
+        return response, spk, spoken
+
+    def run(self):
+        print("feel-me loop — say/type 'end session' to stop")
+        while True:
+            user_text = self.asr.transcribe("output.wav")
+            if not user_text:
+                print("I didn't hear anything, try again...")
+                continue
+            print(f"speaker said: {user_text}")
+            if "end session" in user_text.lower():
+                return
+            response, spk, spoken = self.turn(user_text)
+            print(f"[{spk}] {response}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="emojivoice-feel-me")
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--vocoder", default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--voice", choices=["female", "male"], default="female")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--speaking_rate", type=float, default=0.8)
+    p.add_argument("--language", default="en")
+    p.add_argument("--out_dir", default="feel_me_out", help="audio sink dir when no sound device")
+    args = p.parse_args(argv)
+
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+    from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+    cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
+    if args.random_init or not args.checkpoint_path:
+        pipe = SynthesisPipeline.from_random(cleaners=cleaners)
+    else:
+        pipe = SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder,
+                                                        cleaners=cleaners)
+    app = FeelMe(pipe, voice=args.voice, steps=args.steps, speaking_rate=args.speaking_rate,
+                 language=args.language, sink=ad.default_audio_sink(args.out_dir))
+    app.run()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

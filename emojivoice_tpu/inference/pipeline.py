@@ -140,8 +140,9 @@ class SynthesisPipeline:
             self._stage_a[key] = stage_a
         return self._stage_a[key]
 
-    def _get_stage_b(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool):
-        key = (t_bucket, m_bucket, batch, n_timesteps, denoise)
+    def _get_stage_b(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool,
+                     keep_mel: bool = True):
+        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel)
         if key not in self._stage_b:
 
             @jax.jit
@@ -151,7 +152,11 @@ class SynthesisPipeline:
                     params, mu_x, w_ceil, y_lengths, x_mask, spk_e, m_bucket, n_timesteps,
                     temperature, rng, method=MatchaTTS.decode_mel,
                 )
-                res = dict(out)
+                # only ship what the caller reads — over a TPU tunnel the
+                # D2H transfer of attn/encoder outputs would dominate
+                res = {"mel_lengths": out["mel_lengths"]}
+                if keep_mel:
+                    res["mel"] = out["mel"]
                 if self.vocoder is not None:
                     wav = self.vocoder.apply(voc_params, out["mel"])
                     if denoise:
@@ -162,8 +167,9 @@ class SynthesisPipeline:
             self._stage_b[key] = stage_b
         return self._stage_b[key]
 
-    def _get_fused(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool):
-        key = (t_bucket, m_bucket, batch, n_timesteps, denoise)
+    def _get_fused(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool,
+                   keep_mel: bool = True):
+        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel)
         if key not in self._fused:
 
             @jax.jit
@@ -173,7 +179,9 @@ class SynthesisPipeline:
                     params, x, x_lengths, m_bucket, n_timesteps, temperature, spks, length_scale,
                     rng, method=MatchaTTS.synthesise,
                 )
-                res = dict(out)
+                res = {"mel_lengths": out["mel_lengths"]}
+                if keep_mel:
+                    res["mel"] = out["mel"]
                 if self.vocoder is not None:
                     wav = self.vocoder.apply(voc_params, out["mel"])
                     if denoise:
@@ -222,6 +230,7 @@ class SynthesisPipeline:
         seed: Optional[int] = None,
         fused: bool = False,
         fused_mel_bucket: Optional[int] = None,
+        keep_mel: bool = True,
     ) -> list[SynthesisResult]:
         """Synthesise a padded batch of texts (all 11 emoji voices in one
         compiled call is `texts×11` with per-item spks — BASELINE config #2).
@@ -239,7 +248,7 @@ class SynthesisPipeline:
 
         if fused:
             m_bucket = fused_mel_bucket or self.mel_buckets[-1]
-            fn = self._get_fused(t_bucket, m_bucket, b, n_timesteps, denoise)
+            fn = self._get_fused(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel)
             out = fn(self.params, self.vocoder_params, x, x_lengths, spk_arr, ls, temp, rng,
                      jnp.float32(denoiser_strength))
         else:
@@ -247,7 +256,7 @@ class SynthesisPipeline:
             mu_x, w_ceil, y_lengths, x_mask, spk_e = stage_a(self.params, x, x_lengths, spk_arr, ls)
             y_len_max = int(jax.device_get(jnp.max(y_lengths)))  # the host sync
             m_bucket = pick_bucket(fix_len_compatibility(y_len_max), self.mel_buckets)
-            stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise)
+            stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel)
             out = stage_b(self.params, self.vocoder_params, mu_x, w_ceil, y_lengths, x_mask, spk_e,
                           temp, rng, jnp.float32(denoiser_strength))
 
@@ -263,7 +272,7 @@ class SynthesisPipeline:
         ups = self.vocoder_cfg.total_upsample if self.vocoder_cfg is not None else HOP_LENGTH
         for i in range(b):
             ml = int(mel_lengths[i])
-            mel = np.asarray(out["mel"][i][:ml])
+            mel = np.asarray(out["mel"][i][:ml]) if "mel" in out else np.zeros((0, 0), np.float32)
             wav = None
             if "wav" in out:
                 # trim the padded-bucket waveform to the true mel length

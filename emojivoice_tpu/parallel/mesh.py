@@ -1,0 +1,47 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's Lightning DDP/NCCL data parallelism
+(reference: configs/trainer/ddp.yaml, SURVEY.md §2.8).
+
+Design (scaling-book recipe): build a 1-D ``Mesh`` over the data axis,
+annotate the batch as sharded and parameters as replicated, and let XLA
+insert the gradient all-reduce over ICI.  No explicit collectives in model
+code; ``jax.jit`` with these shardings compiles to the same program the
+reference gets from DDP's NCCL all-reduce — minus the framework overhead.
+
+Multi-host (DCN) would only need ``jax.distributed.initialize()`` before
+``make_mesh``; at this model scale (~21M params) a single v5e pod slice is
+already far past the reference's 2-GPU ceiling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first `num_devices` devices."""
+    devices = jax.devices()
+    if num_devices is not None and num_devices > 0:
+        if num_devices > len(devices):
+            raise ValueError(f"Requested {num_devices} devices, have {len(devices)}")
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 (batch) across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
+    """Device-put every array in a batch dict with batch-dim sharding."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

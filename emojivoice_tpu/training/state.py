@@ -1,0 +1,136 @@
+"""Train state + compiled train/eval steps.
+
+Replaces the reference's Lightning module/trainer pair
+(reference: matcha/models/baselightningmodule.py:30-175, train.py:35-90):
+optax Adam (lr 1e-4) with global-norm clipping 5.0
+(configs/model/optimizer/adam.yaml + trainer.default gradient_clip_val),
+loss = dur + prior + diff (baselightningmodule.get_losses:56-74), grad-norm
+metric every step (:218-219).
+
+Data parallelism: the returned train_step is jit-compiled with the batch
+sharded over the mesh's data axis and params replicated — XLA inserts the
+gradient all-reduce over ICI (the DDP/NCCL equivalent, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from emojivoice_tpu.config import ModelConfig, OptimizerConfig
+from emojivoice_tpu.models import MatchaTTS
+from emojivoice_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(cfg.lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay)
+        if cfg.weight_decay
+        else optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2),
+    )
+
+
+def create_train_state(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, seed: int = 1234,
+                       params: Optional[Any] = None) -> TrainState:
+    model = MatchaTTS(cfg=model_cfg)
+    if params is None:
+        rng = jax.random.PRNGKey(seed)
+        x = jnp.ones((1, 8), jnp.int32)
+        y = jnp.zeros((1, 16, model_cfg.n_feats))
+        spks = jnp.array([0]) if model_cfg.n_spks > 1 else None
+        params = model.init({"params": rng, "dropout": rng}, x, jnp.array([8]), y,
+                            jnp.array([16]), spks, rng=rng)
+    tx = make_optimizer(opt_cfg)
+    return TrainState(params=params, opt_state=tx.init(params["params"]), step=jnp.asarray(0))
+
+
+def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):
+    dur, prior, diff, _ = model.apply(
+        params,
+        batch["x"],
+        batch["x_lengths"],
+        batch["y"],
+        batch["y_lengths"],
+        batch.get("spks"),
+        durations=batch.get("durations"),
+        out_size=out_size,
+        rng=rng,
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": jax.random.fold_in(rng, 1)},
+    )
+    return dur, prior, diff
+
+
+def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None, axis: str = "data"):
+    """Build the jitted data-parallel train step:
+    (state, batch, rng) → (state, metrics).
+
+    batch: {"x": (B,Tx) i32, "x_lengths": (B,), "y": (B,Ty,n_feats),
+            "y_lengths": (B,), "spks": (B,) [multi-speaker],
+            "durations": (B,Tx) [optional]}.
+    """
+    model = MatchaTTS(cfg=model_cfg)
+    tx = make_optimizer(opt_cfg)
+    out_size = model_cfg.out_size
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            dur, prior, diff = _losses(model, params, batch, rng, out_size, deterministic=False)
+            total = dur + prior + diff
+            return total, (dur, prior, diff)
+
+        (total, (dur, prior, diff)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        g = grads["params"]
+        grad_norm = optax.global_norm(g)
+        updates, opt_state = tx.update(g, state.opt_state, state.params["params"])
+        params = {"params": optax.apply_updates(state.params["params"], updates)}
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = {
+            "loss": total,
+            "dur_loss": dur,
+            "prior_loss": prior,
+            "diff_loss": diff,
+            "grad_norm": grad_norm,
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh, axis)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model_cfg: ModelConfig, mesh=None, axis: str = "data"):
+    """Validation losses (no dropout, fixed noise key per step)."""
+    model = MatchaTTS(cfg=model_cfg)
+
+    def eval_fn(params, batch, rng):
+        dur, prior, diff = _losses(model, params, batch, rng, None, deterministic=True)
+        return {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff, "loss": dur + prior + diff}
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh, axis)
+    return jax.jit(eval_fn, in_shardings=(repl, data, repl), out_shardings=repl)

@@ -1,0 +1,174 @@
+"""`emojivoice-train` — training / fine-tuning loop.
+
+Replaces the reference's Hydra+Lightning entry
+(reference: Matcha-TTS/matcha/train.py:35-118): presets instead of the YAML
+tree, orbax instead of ModelCheckpoint, a jitted data-parallel step instead
+of Trainer+DDP.  Fine-tuning from a released PyTorch checkpoint =
+``--from_torch_ckpt`` (the reference's ``ckpt_path=...`` story,
+/README.md:145-162: record ~2 min per emoji at 22.05 kHz, build a filelist,
+fine-tune the multi-speaker model).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime as dt
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="emojivoice-train")
+    p.add_argument("--preset", default="ljspeech", help="ljspeech | vctk | emoji_multi")
+    p.add_argument("--train_filelist", required=True)
+    p.add_argument("--valid_filelist", required=True)
+    p.add_argument("--out_dir", default="logs/run")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--max_epochs", type=int, default=-1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--out_size", type=int, default=None, help="Grad-TTS segment crop (multiple of 4)")
+    p.add_argument("--from_torch_ckpt", default=None, help="fine-tune from a reference .ckpt")
+    p.add_argument("--resume", action="store_true", help="resume from latest orbax ckpt in out_dir")
+    p.add_argument("--num_devices", type=int, default=0, help="0 = all visible")
+    p.add_argument("--ckpt_every_steps", type=int, default=1000)
+    p.add_argument("--val_every_steps", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--mel_stats", default=None, help='JSON {"mel_mean": m, "mel_std": s} override')
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from emojivoice_tpu import config as cfglib
+    from emojivoice_tpu.data.dataset import BucketBatcher, Prefetcher, TextMelDataset
+    from emojivoice_tpu.io.checkpoint import CheckpointManager
+    from emojivoice_tpu.parallel.mesh import make_mesh, shard_batch
+    from emojivoice_tpu.training.state import TrainState, create_train_state, make_eval_step, make_train_step
+
+    root = cfglib.get_preset(args.preset)
+    if args.mel_stats:
+        stats = json.loads(Path(args.mel_stats).read_text()) if os.path.exists(args.mel_stats) \
+            else json.loads(args.mel_stats)
+        ds_stats = cfglib.DataStatistics(stats["mel_mean"], stats["mel_std"])
+        root = dataclasses.replace(
+            root,
+            model=dataclasses.replace(root.model, data_statistics=ds_stats),
+            data=dataclasses.replace(root.data, data_statistics=ds_stats),
+        )
+    model_cfg = dataclasses.replace(root.model, out_size=args.out_size)
+    opt_cfg = dataclasses.replace(root.optimizer, lr=args.lr)
+    data_cfg = dataclasses.replace(
+        root.data,
+        train_filelist_path=args.train_filelist,
+        valid_filelist_path=args.valid_filelist,
+        batch_size=args.batch_size,
+        seed=args.seed,
+    )
+
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = make_mesh(n_dev)
+    print(f"[train] devices={n_dev} mesh={mesh} preset={args.preset}", flush=True)
+
+    params = None
+    if args.from_torch_ckpt:
+        from emojivoice_tpu.io.torch_ckpt import load_matcha_params
+
+        params, loaded_cfg = load_matcha_params(args.from_torch_ckpt)
+        model_cfg = dataclasses.replace(loaded_cfg, out_size=args.out_size)
+        print(f"[train] fine-tuning from {args.from_torch_ckpt} "
+              f"(n_spks={model_cfg.n_spks})", flush=True)
+
+    state = create_train_state(model_cfg, opt_cfg, seed=args.seed, params=params)
+    mgr = CheckpointManager(os.path.join(args.out_dir, "ckpts"),
+                            max_to_keep=root.trainer.save_top_k)
+    if args.resume and mgr.latest_step() is not None:
+        template = jax.device_get(
+            {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        )
+        restored = mgr.restore(template=template)
+        state = TrainState(params=restored["params"], opt_state=restored["opt_state"],
+                           step=restored["step"])
+        print(f"[train] resumed at step {int(state.step)}", flush=True)
+
+    train_ds = TextMelDataset(args.train_filelist, data_cfg)
+    valid_ds = TextMelDataset(args.valid_filelist, data_cfg)
+    min_mel = args.out_size if args.out_size else None
+    batcher = BucketBatcher(train_ds, args.batch_size, min_mel_bucket=min_mel, seed=args.seed)
+    val_batcher = BucketBatcher(valid_ds, args.batch_size, min_mel_bucket=min_mel,
+                                shuffle=False, seed=args.seed)
+
+    train_step = make_train_step(model_cfg, opt_cfg, mesh=mesh)
+    eval_step = make_eval_step(model_cfg, mesh=mesh)
+    rng = jax.random.PRNGKey(args.seed)
+
+    metrics_path = Path(args.out_dir) / "metrics.jsonl"
+    metrics_path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log_metrics(tag, step, m, extra=None):
+        rec = {"tag": tag, "step": int(step), "time": dt.datetime.now().isoformat(),
+               **{k: float(v) for k, v in m.items()}}
+        if extra:
+            rec.update(extra)
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if tag == "train":
+            print(f"[train] step {int(step)}  " +
+                  "  ".join(f"{k}={float(v):.4f}" for k, v in m.items()), flush=True)
+
+    step_idx = int(state.step)
+    epoch = 0
+    t_start = dt.datetime.now()
+    done = False
+    while not done:
+        epoch += 1
+        if args.max_epochs > 0 and epoch > args.max_epochs:
+            break
+        for batch in Prefetcher(batcher):
+            if batch["x"].shape[0] % n_dev != 0:
+                continue  # uneven final batch cannot shard; skip (DDP drop_last analog)
+            batch = shard_batch(mesh, batch)
+            state, m = train_step(state, batch, rng)
+            step_idx = int(state.step)
+            if step_idx % args.log_every == 0:
+                log_metrics("train", step_idx, m)
+            if args.val_every_steps > 0 and step_idx % args.val_every_steps == 0:
+                vms = []
+                for vb in val_batcher:
+                    if vb["x"].shape[0] % n_dev != 0:
+                        continue
+                    vms.append({k: float(v) for k, v in
+                                eval_step(state.params, shard_batch(mesh, vb),
+                                          jax.random.PRNGKey(0)).items()})
+                if vms:
+                    avg = {k: float(np.mean([m[k] for m in vms])) for k in vms[0]}
+                    log_metrics("val", step_idx, avg)
+            if args.ckpt_every_steps > 0 and step_idx % args.ckpt_every_steps == 0:
+                mgr.save(step_idx, jax.device_get(
+                    {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
+                    cfg=dataclasses.replace(root, model=model_cfg))
+            if 0 < args.max_steps <= step_idx:
+                done = True
+                break
+
+    mgr.save(step_idx, jax.device_get(
+        {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
+        cfg=dataclasses.replace(root, model=model_cfg), force=True)
+    mgr.close()
+    print(f"[train] finished at step {step_idx} "
+          f"({(dt.datetime.now() - t_start).total_seconds():.0f}s)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -46,12 +46,16 @@ class Denoiser:
         else:
             raise ValueError(f"Mode {mode} is not supported")
 
-        bias_audio = vocoder_apply(mel_input)  # (1, L)
-        bias_spec, _ = stft_magnitude_phase(
-            bias_audio, filter_length, self.hop_length, win_length, center=True
-        )  # (1, T, F)
-        # frame 0 only, like the reference (denoiser.py:56)
-        self.bias_spec = bias_spec[:, 0:1, :]  # (1, 1, F)
+        @jax.jit
+        def probe(mel):
+            bias_audio = vocoder_apply(mel)  # (1, L)
+            bias_spec, _ = stft_magnitude_phase(
+                bias_audio, filter_length, self.hop_length, win_length, center=True
+            )  # (1, T, F)
+            # frame 0 only, like the reference (denoiser.py:56)
+            return bias_spec[:, 0:1, :]  # (1, 1, F)
+
+        self.bias_spec = probe(mel_input)
 
     def __call__(self, audio: jnp.ndarray, strength: float = 0.0005) -> jnp.ndarray:
         """audio (B, L) → denoised audio (B, L') with L' = hop·(n_frames−1)."""
