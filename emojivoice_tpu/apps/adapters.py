@@ -164,10 +164,19 @@ def default_audio_sink(out_dir: str = ".") -> AudioSink:
 
 
 def default_asr() -> ASRAdapter:
+    import os
+
+    prev = os.environ.get("HF_HUB_OFFLINE")
+    os.environ["HF_HUB_OFFLINE"] = "1"  # cache-only: no network retries in hermetic envs
     try:
         return WhisperASR()
     except Exception:  # noqa: BLE001
         return ConsoleASR()
+    finally:
+        if prev is None:
+            os.environ.pop("HF_HUB_OFFLINE", None)
+        else:
+            os.environ["HF_HUB_OFFLINE"] = prev
 
 
 def default_llm() -> LLMAdapter:

@@ -240,7 +240,10 @@ class SynthesisPipeline:
         b = x.shape[0]
         spk_arr = None
         if self.model_cfg.n_spks > 1:
-            spk_arr = jnp.asarray(np.asarray(spks if spks is not None else [0] * b, np.int32))
+            raw = np.asarray(spks if spks is not None else [0] * b, np.int32)
+            # out-of-range ids would hit jnp.take's NaN fill inside Embed;
+            # clamp like a robust lookup (the reference would hard-crash)
+            spk_arr = jnp.asarray(np.clip(raw, 0, self.model_cfg.n_spks - 1))
         rng = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None else seed)
         ls = jnp.float32(length_scale)
         temp = jnp.float32(temperature)
@@ -280,8 +283,8 @@ class SynthesisPipeline:
                 # denoiser's iSTFT can shave a partial final frame.
                 wav = np.asarray(out["wav"][i][: ml * ups], np.float32)
             # reference RTF formulas (matcha_tts.py:142-143, cli.py:301-302)
-            rtf = t_mel * SAMPLE_RATE / (ml * HOP_LENGTH) / b
-            rtf_w = (t_total * SAMPLE_RATE / len(wav) / b) if wav is not None else float("nan")
+            rtf = t_mel * SAMPLE_RATE / (max(ml, 1) * HOP_LENGTH) / b
+            rtf_w = (t_total * SAMPLE_RATE / max(len(wav), 1) / b) if wav is not None else float("nan")
             results.append(
                 SynthesisResult(
                     wav=wav if wav is not None else np.zeros(0, np.float32),

@@ -1,0 +1,121 @@
+"""Data pipeline: numpy/jax mel parity, dataset, bucketing collate, stats."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emojivoice_tpu.config import AudioConfig, DataConfig, DataStatistics
+from emojivoice_tpu.data.audio_np import load_wav, mel_spectrogram_np, resample_poly_np
+from emojivoice_tpu.data.dataset import BucketBatcher, Prefetcher, TextMelDataset, parse_filelist
+from emojivoice_tpu.ops.mel import mel_spectrogram
+
+
+def test_mel_np_matches_jax(rng):
+    y = (rng.normal(size=(256 * 12,)) * 0.1).astype(np.float32)
+    a = mel_spectrogram_np(y)
+    b = np.asarray(mel_spectrogram(jnp.asarray(y[None])))[0]
+    assert a.shape == b.shape == (12, 80)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_resample_poly():
+    t = np.arange(44100) / 44100
+    y = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = resample_poly_np(y, 44100, 22050)
+    assert abs(len(out) - 22050) <= 1
+    # frequency preserved: zero crossings ≈ 880 per second
+    zc = np.sum(np.abs(np.diff(np.signbit(out[1000:21000]))))
+    assert 750 < zc < 850 * 22000 / 20000
+
+
+@pytest.fixture
+def wav_dataset(tmp_path, rng):
+    from scipy.io import wavfile
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    entries = []
+    for i, (text, spk) in enumerate([("hello there", 0), ("goodbye now", 1), ("a longer sentence here", 2)]):
+        n = 22050 // 2 + i * 2048
+        wav = (rng.normal(size=n) * 0.1).astype(np.float32)
+        path = wav_dir / f"utt{i}.wav"
+        wavfile.write(path, 22050, wav)
+        entries.append(f"{path}|{spk}|{text}")
+    filelist = tmp_path / "train.txt"
+    filelist.write_text("\n".join(entries) + "\n")
+    cfg = DataConfig(
+        cleaners=("basic_cleaners",),
+        n_spks=3,
+        audio=AudioConfig(),
+        data_statistics=DataStatistics(mel_mean=-5.5, mel_std=2.0),
+    )
+    return str(filelist), cfg
+
+
+def test_parse_filelist(wav_dataset):
+    filelist, _ = wav_dataset
+    rows = parse_filelist(filelist)
+    assert len(rows) == 3 and len(rows[0]) == 3
+
+
+def test_dataset_item(wav_dataset):
+    filelist, cfg = wav_dataset
+    ds = TextMelDataset(filelist, cfg)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["x"].dtype == np.int32
+    assert item["x"][0] == 0 and item["x"][2] == 0  # interspersed blanks
+    assert item["y"].ndim == 2 and item["y"].shape[1] == 80
+    assert 0 <= item["spk"] < 3
+    # normalized mel should be roughly zero-centered for silence-ish noise
+    assert np.isfinite(item["y"]).all()
+
+
+def test_bucket_batcher(wav_dataset):
+    filelist, cfg = wav_dataset
+    ds = TextMelDataset(filelist, cfg)
+    batches = list(BucketBatcher(ds, batch_size=2, text_buckets=(64, 128), mel_buckets=(64, 128, 256)))
+    assert len(batches) == 2
+    b0 = batches[0]
+    assert b0["x"].shape[1] in (64, 128)
+    assert b0["y"].shape[1] in (64, 128, 256)
+    assert (b0["y_lengths"] <= b0["y"].shape[1]).all()
+    assert (b0["x_lengths"] <= b0["x"].shape[1]).all()
+    # masked region must be zero
+    i = 0
+    assert b0["y"][i, b0["y_lengths"][i]:, :].sum() == 0
+
+
+def test_bucket_batcher_min_mel(wav_dataset):
+    filelist, cfg = wav_dataset
+    ds = TextMelDataset(filelist, cfg)
+    b = next(iter(BucketBatcher(ds, 3, mel_buckets=(64, 128, 256), min_mel_bucket=172)))
+    assert b["y"].shape[1] >= 172
+
+
+def test_prefetcher(wav_dataset):
+    filelist, cfg = wav_dataset
+    ds = TextMelDataset(filelist, cfg)
+    batcher = BucketBatcher(ds, batch_size=1)
+    assert len(list(Prefetcher(batcher))) == 3
+
+
+def test_data_stats(wav_dataset):
+    from emojivoice_tpu.data.stats import compute_data_statistics
+
+    filelist, cfg = wav_dataset
+    stats = compute_data_statistics(filelist, cfg)
+    assert -15 < stats["mel_mean"] < 0
+    assert 0 < stats["mel_std"] < 10
+
+
+def test_load_wav_int16(tmp_path):
+    from scipy.io import wavfile
+
+    path = tmp_path / "a.wav"
+    wavfile.write(path, 22050, (np.ones(100) * 16384).astype(np.int16))
+    wav, sr = load_wav(str(path))
+    assert sr == 22050
+    np.testing.assert_allclose(wav, 0.5, atol=1e-4)
