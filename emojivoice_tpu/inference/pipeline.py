@@ -141,8 +141,8 @@ class SynthesisPipeline:
         return self._stage_a[key]
 
     def _get_stage_b(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool,
-                     keep_mel: bool = True):
-        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel)
+                     keep_mel: bool = True, vocode: bool = True):
+        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel, vocode)
         if key not in self._stage_b:
 
             @jax.jit
@@ -157,7 +157,7 @@ class SynthesisPipeline:
                 res = {"mel_lengths": out["mel_lengths"]}
                 if keep_mel:
                     res["mel"] = out["mel"]
-                if self.vocoder is not None:
+                if vocode and self.vocoder is not None:
                     wav = self.vocoder.apply(voc_params, out["mel"])
                     if denoise:
                         wav = self.denoiser(wav, denoiser_strength)
@@ -231,6 +231,7 @@ class SynthesisPipeline:
         fused: bool = False,
         fused_mel_bucket: Optional[int] = None,
         keep_mel: bool = True,
+        vocode: bool = True,
     ) -> list[SynthesisResult]:
         """Synthesise a padded batch of texts (all 11 emoji voices in one
         compiled call is `texts×11` with per-item spks — BASELINE config #2).
@@ -259,7 +260,7 @@ class SynthesisPipeline:
             mu_x, w_ceil, y_lengths, x_mask, spk_e = stage_a(self.params, x, x_lengths, spk_arr, ls)
             y_len_max = int(jax.device_get(jnp.max(y_lengths)))  # the host sync
             m_bucket = pick_bucket(fix_len_compatibility(y_len_max), self.mel_buckets)
-            stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel)
+            stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel, vocode)
             out = stage_b(self.params, self.vocoder_params, mu_x, w_ceil, y_lengths, x_mask, spk_e,
                           temp, rng, jnp.float32(denoiser_strength))
 

@@ -1,0 +1,120 @@
+"""Chunked streaming vocoding — low time-to-first-audio (TTFA).
+
+BASELINE.md config #3: the conversational loop wants audio flowing before
+the whole utterance is vocoded.  The acoustic model is bidirectional over
+the utterance (U-Net + transformers), so the mel is produced in one
+compiled call; the HiFi-GAN vocoder, however, is a finite-receptive-field
+conv stack, so it streams: fixed-size mel windows with `overlap` context
+frames on each side are vocoded by ONE compiled program per chunk shape,
+and the interior samples are emitted as they finish.
+
+TTFA ≈ t(stage A) + t(CFM at bucket) + t(one vocoder chunk), instead of the
+reference's full-utterance vocode before `sd.play` (feel_me.py:189-203).
+
+`overlap` must cover the vocoder's receptive field in mel frames; the
+HiFi-GAN v1 stack's total context is < 4 mel frames per side (7-tap pre/post
+convs and dilation ≤5 res-blocks at sample rate ≈ hundreds of samples);
+the default 8 is conservative — verified against the monolithic vocoder in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamingVocoder:
+    def __init__(self, vocoder, vocoder_params, chunk_frames: int = 64, overlap: int = 8):
+        self.vocoder = vocoder
+        self.params = vocoder_params
+        self.chunk_frames = chunk_frames
+        self.overlap = overlap
+        self.ups = vocoder.cfg.total_upsample
+
+        ov, ck, ups = overlap, chunk_frames, self.ups
+
+        # Three static window shapes, clipped at the true array boundaries so
+        # the convolutions' own zero padding lands exactly where the
+        # monolithic call pads — streaming output is then bit-exact.
+        def make(lo_ctx: int, hi_ctx: int):
+            @jax.jit
+            def vocode(params, window):
+                wav = self.vocoder.apply(params, window)
+                return wav[:, lo_ctx * ups : (lo_ctx + ck) * ups]
+
+            return vocode
+
+        self._first = make(0, ov)       # window ck+ov, no left context
+        self._middle = make(ov, ov)     # window ck+2ov
+        self._last = make(ov, 0)        # window ck+ov, no right context
+
+    def stream(self, mel: np.ndarray, mel_length: Optional[int] = None) -> Iterator[np.ndarray]:
+        """mel (T, n_mels) with T a multiple of chunk_frames (the bucket) →
+        yields chunk_frames·ups-sample chunks, trimmed to mel_length·ups.
+
+        Exactness contract: concat(stream(mel)) == vocoder(mel)[: ml·ups]
+        whenever overlap covers the receptive field (tests pin this).
+        """
+        t = mel.shape[0]
+        mel_length = t if mel_length is None else mel_length
+        ov, ck, ups = self.overlap, self.chunk_frames, self.ups
+        if t % ck != 0:
+            pad = ck - (t % ck)
+            mel = np.pad(mel, ((0, pad), (0, 0)))
+            t += pad
+        n_chunks = t // ck
+        emitted = 0
+        target = mel_length * ups
+        for c in range(n_chunks):
+            if c == 0:
+                window, fn = mel[: ck + ov], self._first if n_chunks > 1 else None
+                if n_chunks == 1:
+                    wav = np.asarray(
+                        jax.jit(self.vocoder.apply)(self.params, jnp.asarray(mel[None]))
+                    )[0]
+                    yield wav[:target]
+                    return
+            elif c == n_chunks - 1:
+                window, fn = mel[c * ck - ov :], self._last
+            else:
+                window, fn = mel[c * ck - ov : c * ck + ck + ov], self._middle
+            wav = np.asarray(fn(self.params, jnp.asarray(window[None])))[0]
+            remaining = target - emitted
+            if remaining <= 0:
+                break
+            if remaining < len(wav):
+                wav = wav[:remaining]
+            emitted += len(wav)
+            yield wav
+
+
+def stream_synthesise(
+    pipeline,
+    text: str,
+    spk: int = 0,
+    n_timesteps: int = 10,
+    temperature: float = 0.667,
+    length_scale: float = 1.0,
+    language: Optional[str] = None,
+    seed: Optional[int] = None,
+    chunk_frames: int = 64,
+    overlap: int = 8,
+) -> Iterator[np.ndarray]:
+    """Generator of waveform chunks for one utterance (low-TTFA path).
+
+    Uses the pipeline's mel-only compiled stage, then a StreamingVocoder.
+    """
+    res = pipeline.synthesise(
+        [text], spks=[spk], n_timesteps=n_timesteps, temperature=temperature,
+        length_scale=length_scale, language=language, seed=seed,
+        denoiser_strength=0.0, vocode=False, keep_mel=True,
+    )[0]
+    sv = getattr(pipeline, "_streaming_vocoder", None)
+    if sv is None or sv.chunk_frames != chunk_frames or sv.overlap != overlap:
+        sv = StreamingVocoder(pipeline.vocoder, pipeline.vocoder_params, chunk_frames, overlap)
+        pipeline._streaming_vocoder = sv
+    yield from sv.stream(res.mel, res.mel_length)

@@ -1,0 +1,176 @@
+"""Streaming vocoder, case-study demos, Pepper adapter, webapp."""
+
+import json
+import threading
+import urllib.request
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+from emojivoice_tpu.inference.streaming import StreamingVocoder, stream_synthesise
+
+from tests.test_pipeline import tiny_root
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",), mel_buckets=(64, 128, 256), text_buckets=(64, 128)
+    )
+
+
+def test_streaming_matches_monolithic(pipe):
+    """Chunked vocoding is bit-exact vs the monolithic call when the overlap
+    covers the receptive field (boundary windows share the conv zero-pad)."""
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(128, 12)).astype(np.float32) * 2 - 6  # bucket-sized
+    ml = 100
+    sv = StreamingVocoder(pipe.vocoder, pipe.vocoder_params, chunk_frames=32, overlap=8)
+    chunks = list(sv.stream(mel, mel_length=ml))
+    streamed = np.concatenate(chunks)
+    mono = np.asarray(pipe.vocoder.apply(pipe.vocoder_params, jnp.asarray(mel[None])))[0]
+    assert streamed.shape[0] == ml * sv.ups
+    np.testing.assert_allclose(streamed, mono[: len(streamed)], atol=1e-6)
+
+
+def test_streaming_insufficient_overlap_detected(pipe):
+    """With overlap below the receptive field the interior drifts — guard
+    that the test above is actually discriminative."""
+    rng = np.random.default_rng(1)
+    mel = rng.normal(size=(128, 12)).astype(np.float32) * 2 - 6
+    sv = StreamingVocoder(pipe.vocoder, pipe.vocoder_params, chunk_frames=32, overlap=0)
+    streamed = np.concatenate(list(sv.stream(mel, mel_length=128)))
+    mono = np.asarray(pipe.vocoder.apply(pipe.vocoder_params, jnp.asarray(mel[None])))[0]
+    assert np.abs(streamed - mono).max() > 1e-3
+
+
+def test_stream_synthesise_generator(pipe):
+    chunks = list(stream_synthesise(pipe, "streaming hello world", spk=1, n_timesteps=2,
+                                    seed=0, chunk_frames=16, overlap=8))
+    assert len(chunks) >= 1
+    total = sum(len(c) for c in chunks)
+    assert total > 0 and total % 16 == 0  # ups=16 for tiny vocoder
+
+
+def test_demo_render_and_story(pipe, tmp_path):
+    from emojivoice_tpu.apps.demos import render_script, run_story
+
+    script = tmp_path / "script.txt"
+    script.write_text('Byte: 😎 "No worries. I will handle it."\nAlex: plain line\n')
+    out = tmp_path / "out"
+    render_script(pipe, str(script), str(out), steps=2)
+    assert (out / "1.wav").exists() and (out / "2.wav").exists()
+
+    story = tmp_path / "story.txt"
+    story.write_text("Once upon a time 😎.\nA second line 😭!\n")
+    out2 = tmp_path / "story_out"
+    out2.mkdir()
+    run_story(pipe, str(story), str(out2), play=False, steps=2)
+    assert (out2 / "to_play-0.wav").exists() and (out2 / "to_play-1.wav").exists()
+
+
+def test_demo_game_loop(pipe, tmp_path):
+    from emojivoice_tpu.apps.adapters import FileSink, ScriptedLLM
+    from emojivoice_tpu.apps.demos import run_game
+
+    class FakeASR:
+        def __init__(self):
+            self.lines = iter(["the knight entered the cave", "end session"])
+
+        def transcribe(self, _):
+            return next(self.lines)
+
+    n = run_game(pipe, voice="male", steps=2, llm=ScriptedLLM(), asr=FakeASR(),
+                 sink=FileSink(str(tmp_path)))
+    assert n == 1
+    assert len(list(Path(tmp_path).glob("*.wav"))) == 1
+
+
+def test_pepper_local_roundtrip(tmp_path):
+    from scipy.io import wavfile
+
+    from emojivoice_tpu.apps.adapters import FileSink
+    from emojivoice_tpu.apps.pepper import (
+        LocalTransport,
+        format_audio_16bit,
+        run_storytelling,
+        wait_for_file_update,
+    )
+
+    # 16-bit conversion
+    src = tmp_path / "a.wav"
+    wavfile.write(src, 22050, (np.sin(np.linspace(0, 50, 1000)) * 0.5).astype(np.float32))
+    out16 = format_audio_16bit(str(src))
+    sr, data = wavfile.read(out16)
+    assert data.dtype == np.int16 and sr == 22050
+
+    # storytelling relay over the local transport
+    script = tmp_path / "s.txt"
+    script.write_text("line one\nline two\n")
+    for i in range(2):
+        wavfile.write(tmp_path / f"to_play-{i}.wav", 22050,
+                      (np.zeros(500)).astype(np.float32))
+    transport = LocalTransport(str(tmp_path / "played"))
+    transport.sink = FileSink(str(tmp_path / "played"))
+    n = run_storytelling(transport, str(tmp_path), str(script), timeout=5)
+    assert n == 2 and len(transport.played) == 2
+
+    with pytest.raises(TimeoutError):
+        wait_for_file_update(str(tmp_path / "never.wav"), timeout=0.3)
+
+
+def test_webapp_http(pipe):
+    from emojivoice_tpu.apps.webapp import serve
+
+    server = serve(pipe, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"emojivoice-tpu" in r.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/synthesise",
+            data=json.dumps({"text": "hello web", "steps": 2, "spk": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["num_samples"] > 0 and out["sample_rate"] == 22050
+        # bad request
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/api/synthesise",
+                                     data=json.dumps({"text": ""}).encode(),
+                                     headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req)
+    finally:
+        server.shutdown()
+
+
+def test_record_audio_tools(tmp_path, rng):
+    from scipy.io import wavfile
+
+    from emojivoice_tpu.apps.record_audio import EMOTION_EMOJIS, make_filelist, resample_tree
+
+    assert len(EMOTION_EMOJIS) == 11
+    # build a fake recordings tree at 44.1k
+    scripts = tmp_path / "scripts"
+    scripts.mkdir()
+    (scripts / "script-neutral.txt").write_text("first sentence\nsecond sentence\n")
+    rec = tmp_path / "recordings" / "neutral"
+    rec.mkdir(parents=True)
+    for i in range(2):
+        wavfile.write(rec / f"paige-neutral-{i}.wav", 44100,
+                      (rng.normal(size=22050) * 3000).astype(np.int16))
+    resample_tree(tmp_path / "recordings", 22050)
+    sr, data = wavfile.read(rec / "paige-neutral-0.wav")
+    assert sr == 22050
+
+    rows = make_filelist(tmp_path / "recordings", scripts, {"neutral": 12},
+                         tmp_path / "train.txt")
+    assert len(rows) == 2
+    assert rows[0].endswith("|12|first sentence")
