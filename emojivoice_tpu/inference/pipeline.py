@@ -123,6 +123,31 @@ class SynthesisPipeline:
             voc_params = voc.init(jax.random.PRNGKey(seed + 1), jnp.zeros((1, 8, root_cfg.model.n_feats)))
         return cls(root_cfg.model, params, voc_cfg, voc_params, **kw)
 
+
+    # ------------------------------------------------------------------ #
+    # precision
+    # ------------------------------------------------------------------ #
+
+    def _cast_in(self, tree):
+        """Cast float arrays to the compute dtype inside the jitted program
+        (bf16 feeds the MXU at 2x the f32 rate; params stay f32 at rest)."""
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(self.compute_dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree,
+        )
+
+    def _cast_out(self, tree):
+        if self.compute_dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree,
+        )
+
     # ------------------------------------------------------------------ #
     # compiled stages
     # ------------------------------------------------------------------ #
@@ -148,6 +173,7 @@ class SynthesisPipeline:
             @jax.jit
             def stage_b(params, voc_params, mu_x, w_ceil, y_lengths, x_mask, spk_e, temperature, rng,
                         denoiser_strength):
+                params, mu_x, x_mask, spk_e = self._cast_in((params, mu_x, x_mask, spk_e))
                 out = self.model.apply(
                     params, mu_x, w_ceil, y_lengths, x_mask, spk_e, m_bucket, n_timesteps,
                     temperature, rng, method=MatchaTTS.decode_mel,
@@ -158,11 +184,12 @@ class SynthesisPipeline:
                 if keep_mel:
                     res["mel"] = out["mel"]
                 if vocode and self.vocoder is not None:
-                    wav = self.vocoder.apply(voc_params, out["mel"])
+                    wav = self.vocoder.apply(self._cast_in(voc_params), out["mel"])
                     if denoise:
-                        wav = self.denoiser(wav, denoiser_strength)
+                        # denoiser STFT/iSTFT stays f32 (phase math)
+                        wav = self.denoiser(wav.astype(jnp.float32), denoiser_strength)
                     res["wav"] = wav
-                return res
+                return self._cast_out(res)
 
             self._stage_b[key] = stage_b
         return self._stage_b[key]
@@ -175,6 +202,7 @@ class SynthesisPipeline:
             @jax.jit
             def fused(params, voc_params, x, x_lengths, spks, length_scale, temperature, rng,
                       denoiser_strength):
+                params = self._cast_in(params)
                 out = self.model.apply(
                     params, x, x_lengths, m_bucket, n_timesteps, temperature, spks, length_scale,
                     rng, method=MatchaTTS.synthesise,
@@ -183,11 +211,11 @@ class SynthesisPipeline:
                 if keep_mel:
                     res["mel"] = out["mel"]
                 if self.vocoder is not None:
-                    wav = self.vocoder.apply(voc_params, out["mel"])
+                    wav = self.vocoder.apply(self._cast_in(voc_params), out["mel"])
                     if denoise:
-                        wav = self.denoiser(wav, denoiser_strength)
+                        wav = self.denoiser(wav.astype(jnp.float32), denoiser_strength)
                     res["wav"] = wav
-                return res
+                return self._cast_out(res)
 
             self._fused[key] = fused
         return self._fused[key]

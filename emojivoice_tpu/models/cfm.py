@@ -51,8 +51,11 @@ class CFM(nn.Module):
         if z is None:
             if rng is None:
                 raise ValueError("CFM sampling needs `rng` or explicit `z`")
-            z = jax.random.normal(rng, mu.shape, mu.dtype) * temperature
-        return self.solve_euler(z * mask, mu, mask, n_timesteps, spks)
+            # noise is always drawn in f32 so bf16 and f32 runs see the same
+            # sample stream, then cast to the compute dtype; temperature may
+            # arrive as a traced f32 scalar
+            z = (jax.random.normal(rng, mu.shape, jnp.float32) * temperature).astype(mu.dtype)
+        return self.solve_euler(z.astype(mu.dtype) * mask, mu, mask, n_timesteps, spks)
 
     def solve_euler(self, x, mu, mask, n_timesteps: int, spks=None):
         # Uniform t grid: t_span = linspace(0, 1, n+1); dt constant.

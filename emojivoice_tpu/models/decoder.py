@@ -178,8 +178,10 @@ class Decoder(nn.Module):
         channels = tuple(cfg.channels)
         time_embed_dim = channels[0] * 4
 
-        temb = sinusoidal_pos_emb(t, self.in_channels)
-        temb = TimestepEmbedding(time_embed_dim, name="time_mlp")(temb)
+        # time embedding computed in f32 for phase precision, then cast to
+        # the compute dtype so bf16 runs stay bf16 end-to-end
+        temb = sinusoidal_pos_emb(t.astype(jnp.float32), self.in_channels)
+        temb = TimestepEmbedding(time_embed_dim, name="time_mlp")(temb).astype(x.dtype)
 
         h = jnp.concatenate([x, mu], axis=-1)
         if spks is not None:

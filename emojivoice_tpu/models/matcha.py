@@ -101,10 +101,13 @@ class MatchaTTS(nn.Module):
         (B, T_mel, n_feats)), attn, mel (denormalized), mel_lengths.
         """
         cfg = self.cfg
+        dtype = mu_x.dtype  # follow the pipeline's compute dtype (f32 or bf16)
         y_lengths = jnp.minimum(y_lengths, y_max_length)
-        y_mask = sequence_mask(y_lengths, y_max_length).astype(jnp.float32)[..., None]
-        attn_mask = x_mask * y_mask.transpose(0, 2, 1)  # (B, T_x, T_y)
-        attn = generate_path(w_ceil[..., 0], attn_mask)
+        # duration→path math stays f32 (cumsum comparisons), then casts down
+        y_mask32 = sequence_mask(y_lengths, y_max_length).astype(jnp.float32)[..., None]
+        attn_mask32 = x_mask.astype(jnp.float32) * y_mask32.transpose(0, 2, 1)  # (B, T_x, T_y)
+        attn = generate_path(w_ceil[..., 0].astype(jnp.float32), attn_mask32).astype(dtype)
+        y_mask = y_mask32.astype(dtype)
 
         # mu_y[b, t_mel, c] = Σ_x attn[b, x, t_mel] · mu_x[b, x, c]   (MXU)
         mu_y = jnp.einsum("bxy,bxc->byc", attn, mu_x)

@@ -1,0 +1,167 @@
+"""Profiling, debugging, and logging utilities.
+
+Equivalents of the reference's aux subsystems (SURVEY.md §5):
+
+* Lightning profiler configs (configs/debug/profiler.yaml) → ``trace()``
+  context manager around ``jax.profiler`` (XPlane traces viewable in
+  TensorBoard / xprof).
+* ``detect_anomaly: true`` (configs/debug/default.yaml:33) →
+  ``enable_nan_checks()`` via jax_debug_nans.
+* ``L.seed_everything`` (train.py:46-47) → ``seed_everything()``.
+* rank-zero logging (utils/pylogger.py) → ``is_main_process`` /
+  ``main_process_only`` on ``jax.process_index()``.
+* TensorBoard scalar/image logging (baselightningmodule.py:177-216) →
+  ``TensorBoardWriter`` (tf.summary, gated on tensorflow; jsonl always).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import json
+import logging
+import random as _random
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def seed_everything(seed: int):
+    """Seed python/numpy and return a jax PRNGKey."""
+    import jax
+
+    _random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def enable_nan_checks(enable: bool = True):
+    """Fail fast on NaN/Inf in any jitted computation (re-runs the offending
+    op un-jitted for a precise traceback)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", enable)
+
+
+def is_main_process() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def main_process_only(fn):
+    """Run fn only on host 0 (the reference's rank_zero_only,
+    utils/pylogger.py:6-21)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if is_main_process():
+            return fn(*args, **kwargs)
+        return None
+
+    return wrapper
+
+
+def get_logger(name: str) -> logging.Logger:
+    log = logging.getLogger(name)
+    if not log.handlers and is_main_process():
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s"))
+        log.addHandler(handler)
+        log.setLevel(logging.INFO)
+    return log
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace", enabled: bool = True):
+    """Capture a jax.profiler trace around a block; open with TensorBoard's
+    profile plugin or xprof."""
+    import jax
+
+    if not enabled:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Blocking wall-clock timer for compiled steps (RTF-style accounting)."""
+
+    def __init__(self):
+        self.times = []
+
+    @contextlib.contextmanager
+    def measure(self, result_to_block=None):
+        import jax
+
+        t0 = time.perf_counter()
+        yield
+        if result_to_block is not None:
+            jax.block_until_ready(result_to_block)
+        self.times.append(time.perf_counter() - t0)
+
+    def summary(self) -> dict:
+        arr = np.asarray(self.times)
+        if arr.size == 0:
+            return {}
+        return {"mean_s": float(arr.mean()), "median_s": float(np.median(arr)),
+                "p90_s": float(np.percentile(arr, 90)), "n": int(arr.size)}
+
+
+class TensorBoardWriter:
+    """Scalar/image logging: tf.summary when tensorflow is available, and a
+    jsonl sidecar always (hermetic environments, simple plotting)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.jsonl = self.log_dir / "scalars.jsonl"
+        self._tf_writer = None
+        try:
+            import tensorflow as tf  # noqa: PLC0415
+
+            self._tf = tf
+            self._tf_writer = tf.summary.create_file_writer(str(self.log_dir))
+        except Exception:  # noqa: BLE001
+            self._tf = None
+
+    def scalar(self, tag: str, value: float, step: int):
+        with open(self.jsonl, "a") as f:
+            f.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        if self._tf_writer is not None:
+            with self._tf_writer.as_default():
+                self._tf.summary.scalar(tag, float(value), step=step)
+
+    def image(self, tag: str, image_hwc: np.ndarray, step: int):
+        """image_hwc: (H, W) or (H, W, C) float array."""
+        img = np.asarray(image_hwc)
+        if img.ndim == 2:
+            img = img[..., None]
+        path = self.log_dir / f"{tag.replace('/', '_')}_{step}.png"
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(10, 3))
+            ax.imshow(img[..., 0], aspect="auto", origin="lower", interpolation="none")
+            fig.tight_layout()
+            fig.savefig(path)
+            plt.close(fig)
+        except Exception:  # noqa: BLE001
+            pass
+        if self._tf_writer is not None:
+            norm = (img - img.min()) / (np.ptp(img) + 1e-9)
+            with self._tf_writer.as_default():
+                self._tf.summary.image(tag, norm[None].astype(np.float32), step=step)
+
+    def flush(self):
+        if self._tf_writer is not None:
+            self._tf_writer.flush()
