@@ -25,7 +25,10 @@ def main() -> int:
     import jax
     import numpy as np
 
+    from emojivoice_tpu.config import enable_compilation_cache
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+    enable_compilation_cache()
 
     text = (
         "The quick brown fox jumped over the lazy dog, and everyone at the "

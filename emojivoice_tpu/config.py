@@ -249,11 +249,42 @@ def emoji_multi(**overrides: Any) -> RootConfig:
     return _override(RootConfig(model=model, data=data), overrides)
 
 
+def tiny(**overrides: Any) -> RootConfig:
+    """Small model for smoke tests / fast_dev_run-style debugging
+    (analog of the reference's configs/debug/fdr.yaml workflow)."""
+    model = ModelConfig(
+        n_spks=4,
+        spk_emb_dim=8,
+        n_feats=80,
+        encoder=EncoderConfig(n_channels=16, filter_channels=32, n_heads=2, n_layers=2),
+        duration_predictor=DurationPredictorConfig(filter_channels_dp=16),
+        decoder=DecoderConfig(channels=(16, 16), attention_head_dim=8, num_heads=2, num_mid_blocks=1),
+        data_statistics=DataStatistics(mel_mean=-5.5, mel_std=2.0),
+    )
+    data = DataConfig(name="tiny", n_spks=4, batch_size=2, cleaners=("basic_cleaners",),
+                      data_statistics=model.data_statistics)
+    return _override(RootConfig(model=model, data=data), overrides)
+
+
 PRESETS = {
     "ljspeech": ljspeech,
     "vctk": vctk,
     "emoji_multi": emoji_multi,
+    "tiny": tiny,
 }
+
+
+def enable_compilation_cache(path: str = "/tmp/emojivoice_jax_cache") -> None:
+    """Persistent XLA compilation cache — with remote/tunnel TPU compiles
+    taking minutes, caching across processes is a first-class serving
+    concern.  Safe to call multiple times."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without these flags
+        pass
 
 
 def get_preset(name: str, **overrides: Any) -> RootConfig:

@@ -50,8 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _load_pipeline(args):
+    from emojivoice_tpu.config import enable_compilation_cache
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
     from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+    enable_compilation_cache()
 
     cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
     if args.random_init or args.checkpoint_path is None:

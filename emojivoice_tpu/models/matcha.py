@@ -77,7 +77,9 @@ class MatchaTTS(nn.Module):
         spk_e = self._embed_spks(spks)
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)[..., None]
         mu_x, logw = self.encoder(x, x_mask, spk_e, deterministic)
-        w = jnp.exp(logw) * x_mask
+        # duration math always in f32 (ceil/cumsum precision), regardless of
+        # the encoder's compute dtype
+        w = jnp.exp(logw.astype(jnp.float32)) * x_mask
         w_ceil = jnp.ceil(w) * length_scale  # fork quirk: scale after ceil
         y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1.0).astype(jnp.int32)
         return mu_x, w_ceil, y_lengths, x_mask, spk_e

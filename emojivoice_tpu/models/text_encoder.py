@@ -173,7 +173,9 @@ class TextEncoder(nn.Module):
         cfg = self.encoder
         emb = nn.Embed(self.n_vocab, cfg.n_channels, embedding_init=nn.initializers.normal(cfg.n_channels**-0.5),
                        name="emb")
-        h = emb(x) * jnp.sqrt(cfg.n_channels).astype(jnp.float32)  # (B, T, C)
+        h = emb(x)
+        h = h * jnp.asarray(jnp.sqrt(cfg.n_channels), h.dtype)  # (B, T, C)
+        x_mask = x_mask.astype(h.dtype)  # follow the compute dtype (f32/bf16)
 
         if cfg.prenet:
             h = ConvReluNorm(cfg.n_channels, cfg.n_channels, kernel_size=5, n_layers=3, p_dropout=0.5,

@@ -88,6 +88,10 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray, backend: str = "jax") ->
         from emojivoice_tpu.ops.mas_cpp import maximum_path_cpp
 
         return maximum_path_cpp(value, mask)
+    if backend in ("pallas", "pallas_interpret"):
+        from emojivoice_tpu.ops.mas_pallas import maximum_path_pallas
+
+        return maximum_path_pallas(value, mask, interpret=backend == "pallas_interpret")
 
     dtype = value.dtype
     value = value.astype(jnp.float32) * mask.astype(jnp.float32)

@@ -45,3 +45,16 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     """Device-put every array in a batch dict with batch-dim sharding."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_batch_to_multiple(batch: dict, n: int) -> dict:
+    """Pad the batch dim up to a multiple of n by repeating the final row —
+    lets uneven final batches shard over the mesh (eval-time use; repeated
+    rows bias averaged metrics by at most (n-1)/B)."""
+    b = next(iter(batch.values())).shape[0]
+    pad = (-b) % n
+    if pad == 0:
+        return batch
+    import numpy as np
+
+    return {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0) for k, v in batch.items()}

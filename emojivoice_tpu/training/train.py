@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--mel_stats", default=None, help='JSON {"mel_mean": m, "mel_std": s} override')
+    p.add_argument("--render_val_samples", type=int, default=2,
+                   help="synthesize N validation texts after each val pass and log mel images "
+                        "(the reference's on_validation_end, baselightningmodule.py:177-216); 0 disables")
     return p
 
 
@@ -53,7 +56,7 @@ def main(argv=None) -> int:
     from emojivoice_tpu import config as cfglib
     from emojivoice_tpu.data.dataset import BucketBatcher, Prefetcher, TextMelDataset
     from emojivoice_tpu.io.checkpoint import CheckpointManager
-    from emojivoice_tpu.parallel.mesh import make_mesh, shard_batch
+    from emojivoice_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple, shard_batch
     from emojivoice_tpu.training.state import TrainState, create_train_state, make_eval_step, make_train_step
 
     root = cfglib.get_preset(args.preset)
@@ -115,6 +118,22 @@ def main(argv=None) -> int:
     metrics_path = Path(args.out_dir) / "metrics.jsonl"
     metrics_path.parent.mkdir(parents=True, exist_ok=True)
 
+    from emojivoice_tpu.utils.observability import TensorBoardWriter
+
+    tb = TensorBoardWriter(str(Path(args.out_dir) / "tb"))
+
+    def render_val_samples(step):
+        if args.render_val_samples <= 0 or len(valid_ds) == 0:
+            return
+        from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+        pipe = SynthesisPipeline(model_cfg, state.params, cleaners=data_cfg.cleaners)
+        for i in range(min(args.render_val_samples, len(valid_ds))):
+            _, spk, text = valid_ds.items[i]
+            res = pipe.synthesise([text], spks=[spk], n_timesteps=10, seed=0)[0]
+            tb.image(f"val/mel_{i}", res.mel, step)
+        tb.flush()
+
     def log_metrics(tag, step, m, extra=None):
         rec = {"tag": tag, "step": int(step), "time": dt.datetime.now().isoformat(),
                **{k: float(v) for k, v in m.items()}}
@@ -142,17 +161,21 @@ def main(argv=None) -> int:
             step_idx = int(state.step)
             if step_idx % args.log_every == 0:
                 log_metrics("train", step_idx, m)
+                for k, v in m.items():
+                    tb.scalar(f"train/{k}", float(v), step_idx)
             if args.val_every_steps > 0 and step_idx % args.val_every_steps == 0:
                 vms = []
                 for vb in val_batcher:
-                    if vb["x"].shape[0] % n_dev != 0:
-                        continue
+                    vb = pad_batch_to_multiple(vb, n_dev)
                     vms.append({k: float(v) for k, v in
                                 eval_step(state.params, shard_batch(mesh, vb),
                                           jax.random.PRNGKey(0)).items()})
                 if vms:
                     avg = {k: float(np.mean([m[k] for m in vms])) for k in vms[0]}
                     log_metrics("val", step_idx, avg)
+                    for k, v in avg.items():
+                        tb.scalar(f"val/{k}", v, step_idx)
+                    render_val_samples(step_idx)
             if args.ckpt_every_steps > 0 and step_idx % args.ckpt_every_steps == 0:
                 mgr.save(step_idx, jax.device_get(
                     {"params": state.params, "opt_state": state.opt_state, "step": state.step}),

@@ -1,0 +1,29 @@
+"""Pallas MAS kernel vs oracle (interpret mode on CPU; compiled on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emojivoice_tpu.ops.mas import maximum_path_numpy
+from emojivoice_tpu.ops.mas_pallas import maximum_path_pallas
+
+from tests.test_mas import _make_problem
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    t_xs, t_ys = [5, 3, 8, 1], [12, 3, 20, 6]
+    value, mask = _make_problem(rng, 4, 8, 20, t_xs, t_ys)
+    got = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask), interpret=True))
+    want = maximum_path_numpy(value * mask, mask)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_peaked_prior():
+    rng = np.random.default_rng(2)
+    t_xs, t_ys = [6, 4], [15, 9]
+    value, mask = _make_problem(rng, 2, 6, 15, t_xs, t_ys, peaked=True)
+    got = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask), interpret=True))
+    want = maximum_path_numpy(value * mask, mask)
+    np.testing.assert_array_equal(got, want)
