@@ -1,0 +1,93 @@
+"""Long-form synthesis: sentence-split → per-segment compiled synthesis.
+
+BASELINE.md config #5 (multilingual long-form over the case-study scripts).
+The acoustic model is utterance-scale (quadratic attention, bucketed
+shapes); long texts are split at sentence punctuation into segments that
+fit the largest text bucket, synthesized segment-by-segment (reusing the
+warm compiled programs), and concatenated with a short silence gap.
+Per-segment emoji cues switch the voice inline (the storytelling demos'
+behavior generalized).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+_SENTENCE_RE = re.compile(r"(?<=[.!?…])\s+")
+
+
+def split_text(text: str, max_chars: int = 200) -> List[str]:
+    """Split into sentences, then re-pack greedily up to max_chars (so short
+    sentences share one synthesis call)."""
+    sentences = [s.strip() for s in _SENTENCE_RE.split(text.strip()) if s.strip()]
+    # hard-split any sentence that alone exceeds max_chars (commas, then spaces)
+    pieces: List[str] = []
+    for s in sentences:
+        while len(s) > max_chars:
+            cut = s.rfind(",", 0, max_chars)
+            if cut < max_chars // 2:
+                cut = s.rfind(" ", 0, max_chars)
+            if cut <= 0:
+                cut = max_chars
+            pieces.append(s[:cut].strip())
+            s = s[cut:].lstrip(", ")
+        if s:
+            pieces.append(s)
+    # greedy re-pack
+    out: List[str] = []
+    buf = ""
+    for p in pieces:
+        if buf and len(buf) + 1 + len(p) <= max_chars:
+            buf = f"{buf} {p}"
+        else:
+            if buf:
+                out.append(buf)
+            buf = p
+    if buf:
+        out.append(buf)
+    return out
+
+
+def synthesise_longform(
+    pipeline,
+    text: str,
+    spk: int = 0,
+    emoji_voices: bool = False,
+    gap_seconds: float = 0.15,
+    language: Optional[str] = None,
+    max_chars: int = 200,
+    **synth_kw,
+) -> np.ndarray:
+    """Full long text → one concatenated waveform."""
+    chunks = list(stream_longform(pipeline, text, spk, emoji_voices, gap_seconds,
+                                  language, max_chars, **synth_kw))
+    return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+
+def stream_longform(
+    pipeline,
+    text: str,
+    spk: int = 0,
+    emoji_voices: bool = False,
+    gap_seconds: float = 0.15,
+    language: Optional[str] = None,
+    max_chars: int = 200,
+    **synth_kw,
+) -> Iterator[np.ndarray]:
+    """Yield waveform per segment (streaming long-form playback)."""
+    from emojivoice_tpu.apps.emoji import parse_emoji_response
+
+    sr = 22050
+    gap = np.zeros(int(gap_seconds * sr), np.float32)
+    segments = split_text(text, max_chars)
+    for i, seg in enumerate(segments):
+        seg_spk = spk
+        if emoji_voices:
+            seg_spk, seg = parse_emoji_response(seg, default_spk=spk)
+            if not seg:
+                continue
+        res = pipeline.synthesise([seg], spks=[seg_spk], language=language, **synth_kw)[0]
+        yield res.wav if i == len(segments) - 1 else np.concatenate([res.wav, gap])
