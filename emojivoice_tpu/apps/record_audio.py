@@ -116,7 +116,23 @@ def main(argv=None) -> int:
     fl.add_argument("--output", default="train.txt")
     fl.add_argument("--voice", choices=["female", "male"], default="female")
 
+    du = sub.add_parser("durations", help="total recorded audio per emotion "
+                        "(the reference's get_duration.ipynb check; ~2 min/emoji target)")
+    du.add_argument("--dir", required=True)
+
     args = p.parse_args(argv)
+    if args.cmd == "durations":
+        from emojivoice_tpu.data.audio_np import load_wav
+
+        root = Path(args.dir)
+        for emo_dir in sorted(d for d in root.iterdir() if d.is_dir()):
+            total = 0.0
+            for wav in emo_dir.glob("*.wav"):
+                data, sr = load_wav(str(wav))
+                total += len(data) / sr
+            flag = "✓" if total >= 120 else "⚠ below 2 min"
+            print(f"{emo_dir.name:12s} {total:7.1f}s  {flag}")
+        return 0
     if args.cmd == "record":
         record_session(args.speaker, args.emotion, args.start_line,
                        Path(args.script_dir), Path(args.out_dir))

@@ -221,6 +221,14 @@ def basic_cleaners(text: str) -> str:
     return collapse_whitespace(lowercase(text))
 
 
+def expand_numbers_en(text: str) -> str:
+    """Number→words expansion (the reference vendors an unwired inflect
+    version; this one is wired — usable standalone in a cleaner list)."""
+    from emojivoice_tpu.text.numbers import expand_numbers_en as _expand
+
+    return _expand(text)
+
+
 def english_cleaners2(text: str) -> str:
     text = lowercase(text)
     text = expand_abbreviations(text, "en")
