@@ -43,7 +43,7 @@ def main() -> int:
     # size the fused program's mel bucket from one two-stage run, then
     # benchmark the single-dispatch fused program (production serving path)
     t0 = dt.datetime.now()
-    first = pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=0, keep_mel=False)[0]
+    first = pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=0, keep_mel=False, pcm16=True)[0]
     from emojivoice_tpu.utils.buckets import pick_bucket
 
     m_bucket = pick_bucket(first.mel_length, pipe.mel_buckets)
@@ -51,13 +51,13 @@ def main() -> int:
           f"mel_len={first.mel_length} bucket={m_bucket}", file=sys.stderr)
     t0 = dt.datetime.now()
     pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=0, fused=True,
-                    fused_mel_bucket=m_bucket, keep_mel=False)
+                    fused_mel_bucket=m_bucket, keep_mel=False, pcm16=True)
     print(f"[bench] fused compile: {(dt.datetime.now() - t0).total_seconds():.1f}s", file=sys.stderr)
 
     rtfs, secs = [], []
     for i in range(10):
         res = pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=i, fused=True,
-                              fused_mel_bucket=m_bucket, keep_mel=False)[0]
+                              fused_mel_bucket=m_bucket, keep_mel=False, pcm16=True)[0]
         rtfs.append(res.rtf_w)
         secs.append(len(res.wav) / res.sample_rate)
     value = float(np.median(rtfs))

@@ -166,8 +166,8 @@ class SynthesisPipeline:
         return self._stage_a[key]
 
     def _get_stage_b(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool,
-                     keep_mel: bool = True, vocode: bool = True):
-        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel, vocode)
+                     keep_mel: bool = True, vocode: bool = True, pcm16: bool = False):
+        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel, vocode, pcm16)
         if key not in self._stage_b:
 
             @jax.jit
@@ -188,6 +188,10 @@ class SynthesisPipeline:
                     if denoise:
                         # denoiser STFT/iSTFT stays f32 (phase math)
                         wav = self.denoiser(wav.astype(jnp.float32), denoiser_strength)
+                    if pcm16:
+                        # quantize on device: halves the D2H payload
+                        wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
+                        wav = (wav * 32767.0).astype(jnp.int16)
                     res["wav"] = wav
                 return self._cast_out(res)
 
@@ -195,8 +199,8 @@ class SynthesisPipeline:
         return self._stage_b[key]
 
     def _get_fused(self, t_bucket: int, m_bucket: int, batch: int, n_timesteps: int, denoise: bool,
-                   keep_mel: bool = True):
-        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel)
+                   keep_mel: bool = True, pcm16: bool = False):
+        key = (t_bucket, m_bucket, batch, n_timesteps, denoise, keep_mel, pcm16)
         if key not in self._fused:
 
             @jax.jit
@@ -214,6 +218,9 @@ class SynthesisPipeline:
                     wav = self.vocoder.apply(self._cast_in(voc_params), out["mel"])
                     if denoise:
                         wav = self.denoiser(wav.astype(jnp.float32), denoiser_strength)
+                    if pcm16:
+                        wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
+                        wav = (wav * 32767.0).astype(jnp.int16)
                     res["wav"] = wav
                 return self._cast_out(res)
 
@@ -260,6 +267,7 @@ class SynthesisPipeline:
         fused_mel_bucket: Optional[int] = None,
         keep_mel: bool = True,
         vocode: bool = True,
+        pcm16: bool = False,
     ) -> list[SynthesisResult]:
         """Synthesise a padded batch of texts (all 11 emoji voices in one
         compiled call is `texts×11` with per-item spks — BASELINE config #2).
@@ -280,7 +288,7 @@ class SynthesisPipeline:
 
         if fused:
             m_bucket = fused_mel_bucket or self.mel_buckets[-1]
-            fn = self._get_fused(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel)
+            fn = self._get_fused(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel, pcm16)
             out = fn(self.params, self.vocoder_params, x, x_lengths, spk_arr, ls, temp, rng,
                      jnp.float32(denoiser_strength))
         else:
@@ -288,7 +296,7 @@ class SynthesisPipeline:
             mu_x, w_ceil, y_lengths, x_mask, spk_e = stage_a(self.params, x, x_lengths, spk_arr, ls)
             y_len_max = int(jax.device_get(jnp.max(y_lengths)))  # the host sync
             m_bucket = pick_bucket(fix_len_compatibility(y_len_max), self.mel_buckets)
-            stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel, vocode)
+            stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel, vocode, pcm16)
             out = stage_b(self.params, self.vocoder_params, mu_x, w_ceil, y_lengths, x_mask, spk_e,
                           temp, rng, jnp.float32(denoiser_strength))
 
@@ -310,7 +318,9 @@ class SynthesisPipeline:
                 # trim the padded-bucket waveform to the true mel length
                 # (reference: cli.py:306-311 trims by mel_lengths·256); the
                 # denoiser's iSTFT can shave a partial final frame.
-                wav = np.asarray(out["wav"][i][: ml * ups], np.float32)
+                raw = out["wav"][i][: ml * ups]
+                wav = (np.asarray(raw, np.float32) / 32767.0) if raw.dtype == np.int16 \
+                    else np.asarray(raw, np.float32)
             # reference RTF formulas (matcha_tts.py:142-143, cli.py:301-302)
             rtf = t_mel * SAMPLE_RATE / (max(ml, 1) * HOP_LENGTH) / b
             rtf_w = (t_total * SAMPLE_RATE / max(len(wav), 1) / b) if wav is not None else float("nan")
