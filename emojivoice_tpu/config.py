@@ -47,7 +47,8 @@ class DurationPredictorConfig:
 
 @_frozen
 class DecoderConfig:
-    """CFM U-Net estimator (reference: configs/model/decoder/default.yaml)."""
+    """CFM U-Net estimator (reference: configs/model/decoder/default.yaml;
+    block types per level like decoder.py:212-214)."""
 
     channels: tuple = (256, 256)
     dropout: float = 0.05
@@ -56,6 +57,9 @@ class DecoderConfig:
     num_mid_blocks: int = 2
     num_heads: int = 2
     act_fn: str = "snakebeta"
+    down_block_type: str = "transformer"  # "transformer" | "conformer"
+    mid_block_type: str = "transformer"
+    up_block_type: str = "transformer"
 
 
 @_frozen

@@ -188,12 +188,22 @@ class Decoder(nn.Module):
             h = jnp.concatenate([h, jnp.broadcast_to(spks[:, None, :], (h.shape[0], h.shape[1], spks.shape[-1]))],
                                 axis=-1)
 
-        def run_transformers(h, m, prefix):
+        def run_transformers(h, m, prefix, block_type: str):
             for j in range(cfg.n_blocks):
-                h = BasicTransformerBlock(
-                    h.shape[-1], cfg.num_heads, cfg.attention_head_dim, cfg.dropout,
-                    strict_mask=self.strict_mask, name=f"{prefix}_tblock_{j}",
-                )(h, m[..., 0], deterministic)
+                if block_type == "conformer":
+                    from emojivoice_tpu.models.conformer import ConformerBlock
+
+                    h = ConformerBlock(
+                        h.shape[-1], cfg.num_heads, cfg.attention_head_dim, cfg.dropout,
+                        name=f"{prefix}_tblock_{j}",
+                    )(h, m[..., 0], deterministic)
+                elif block_type == "transformer":
+                    h = BasicTransformerBlock(
+                        h.shape[-1], cfg.num_heads, cfg.attention_head_dim, cfg.dropout,
+                        strict_mask=self.strict_mask, name=f"{prefix}_tblock_{j}",
+                    )(h, m[..., 0], deterministic)
+                else:
+                    raise ValueError(f"Unknown block type {block_type!r}")
             return h
 
         hiddens = []
@@ -202,7 +212,7 @@ class Decoder(nn.Module):
             is_last = i == len(channels) - 1
             m = masks[-1]
             h = ResnetBlock1D(out_ch, name=f"down_{i}_resnet")(h, m, temb)
-            h = run_transformers(h, m, f"down_{i}")
+            h = run_transformers(h, m, f"down_{i}", cfg.down_block_type)
             hiddens.append(h)
             if not is_last:
                 h = Conv1d(out_ch, 3, stride=2, padding=1, name=f"down_{i}_downsample")(h * m)
@@ -214,7 +224,7 @@ class Decoder(nn.Module):
         m_mid = masks[-1]
         for i in range(cfg.num_mid_blocks):
             h = ResnetBlock1D(channels[-1], name=f"mid_{i}_resnet")(h, m_mid, temb)
-            h = run_transformers(h, m_mid, f"mid_{i}")
+            h = run_transformers(h, m_mid, f"mid_{i}", cfg.mid_block_type)
 
         up_channels = channels[::-1] + (channels[0],)
         for i in range(len(up_channels) - 1):
@@ -223,7 +233,7 @@ class Decoder(nn.Module):
             m = masks.pop()
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
             h = ResnetBlock1D(out_ch, name=f"up_{i}_resnet")(h, m, temb)
-            h = run_transformers(h, m, f"up_{i}")
+            h = run_transformers(h, m, f"up_{i}", cfg.up_block_type)
             if not is_last:
                 h = ConvTranspose1d(out_ch, 4, stride=2, padding=1, name=f"up_{i}_upsample")(h * m)
             else:

@@ -44,6 +44,15 @@ def build_parser():
     p.add_argument("--render_val_samples", type=int, default=2,
                    help="synthesize N validation texts after each val pass and log mel images "
                         "(the reference's on_validation_end, baselightningmodule.py:177-216); 0 disables")
+    # debug-trainer analogs (reference: configs/debug/{fdr,overfit,limit,default}.yaml)
+    p.add_argument("--fast_dev_run", action="store_true",
+                   help="1 train step + 1 val pass, no checkpoints (debug/fdr.yaml)")
+    p.add_argument("--overfit_batches", type=int, default=0,
+                   help="train repeatedly on the first N batches (debug/overfit.yaml)")
+    p.add_argument("--limit_train_batches", type=int, default=0,
+                   help="cap batches per epoch (debug/limit.yaml)")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="fail fast on NaN/Inf (debug/default.yaml detect_anomaly)")
     return p
 
 
@@ -58,6 +67,16 @@ def main(argv=None) -> int:
     from emojivoice_tpu.io.checkpoint import CheckpointManager
     from emojivoice_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple, shard_batch
     from emojivoice_tpu.training.state import TrainState, create_train_state, make_eval_step, make_train_step
+
+    if args.detect_anomaly:
+        from emojivoice_tpu.utils.observability import enable_nan_checks
+
+        enable_nan_checks(True)
+    if args.fast_dev_run:
+        args.max_steps = 1
+        args.val_every_steps = 1
+        args.ckpt_every_steps = 0
+        args.render_val_samples = 0
 
     root = cfglib.get_preset(args.preset)
     if args.mel_stats:
@@ -153,7 +172,15 @@ def main(argv=None) -> int:
         epoch += 1
         if args.max_epochs > 0 and epoch > args.max_epochs:
             break
-        for batch in Prefetcher(batcher):
+        epoch_batches = Prefetcher(batcher)
+        if args.overfit_batches > 0:
+            import itertools
+
+            first = list(itertools.islice(iter(batcher), args.overfit_batches))
+            epoch_batches = first
+        for bi, batch in enumerate(epoch_batches):
+            if 0 < args.limit_train_batches <= bi:
+                break
             if batch["x"].shape[0] % n_dev != 0:
                 continue  # uneven final batch cannot shard; skip (DDP drop_last analog)
             batch = shard_batch(mesh, batch)
