@@ -112,6 +112,12 @@ def main(argv=None) -> int:
               f"(n_spks={model_cfg.n_spks})", flush=True)
 
     state = create_train_state(model_cfg, opt_cfg, seed=args.seed, params=params)
+    # hparams/param-count logging (reference: utils/logging_utils.py:35-53)
+    n_params = sum(int(p.size) for p in jax.tree.leaves(state.params))
+    n_enc = sum(int(p.size) for p in jax.tree.leaves(state.params["params"].get("encoder", {})))
+    n_dec = sum(int(p.size) for p in jax.tree.leaves(state.params["params"].get("decoder", {})))
+    print(f"[train] params total={n_params/1e6:.2f}M encoder={n_enc/1e6:.2f}M "
+          f"decoder={n_dec/1e6:.2f}M  lr={opt_cfg.lr} out_size={args.out_size}", flush=True)
     mgr = CheckpointManager(os.path.join(args.out_dir, "ckpts"),
                             max_to_keep=root.trainer.save_top_k)
     if args.resume and mgr.latest_step() is not None:
