@@ -61,6 +61,8 @@ def _load_pipeline(args):
         if not args.random_init:
             print("No --checkpoint_path given; using --random_init weights", file=sys.stderr)
         return SynthesisPipeline.from_random(cleaners=cleaners)
+    if os.path.isdir(args.checkpoint_path):  # orbax dir from emojivoice-train
+        return SynthesisPipeline.from_orbax(args.checkpoint_path, args.vocoder, cleaners=cleaners)
     return SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder, cleaners=cleaners)
 
 

@@ -106,6 +106,26 @@ class SynthesisPipeline:
         return cls(model_cfg, params, voc_cfg, voc_params, **kw)
 
     @classmethod
+    def from_orbax(cls, ckpt_dir: str, vocoder_ckpt: Optional[str] = None, step: Optional[int] = None, **kw):
+        """Serve a model trained by emojivoice-train: restores params + the
+        RootConfig sidecar from the orbax directory (ckpts/ under --out_dir);
+        the vocoder still comes from a torch HiFi-GAN dump."""
+        from emojivoice_tpu.io.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        root_cfg = mgr.load_config()
+        restored = mgr.restore(step)
+        params = restored["params"] if "params" in restored else restored
+        mgr.close()
+        voc_cfg = voc_params = None
+        if vocoder_ckpt is not None:
+            from emojivoice_tpu.io.torch_ckpt import load_hifigan_params
+
+            voc_cfg = root_cfg.vocoder
+            voc_params = load_hifigan_params(vocoder_ckpt, voc_cfg)
+        return cls(root_cfg.model, params, voc_cfg, voc_params, **kw)
+
+    @classmethod
     def from_random(cls, root_cfg: Optional[cfglib.RootConfig] = None, seed: int = 0, with_vocoder=True, **kw):
         """Random-init pipeline (tests/benchmarks without released weights)."""
         root_cfg = root_cfg or cfglib.get_preset("emoji_multi")

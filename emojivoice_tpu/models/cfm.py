@@ -66,16 +66,19 @@ class CFM(nn.Module):
             x = x + dt * dphi_dt
         return x
 
-    def compute_loss(self, x1, mask, mu, spks=None, *, rng, deterministic: bool = False):
+    def compute_loss(self, x1, mask, mu, spks=None, *, rng=None, deterministic: bool = False,
+                     t=None, z=None):
         """CFM training loss (reference: flow_matching.py:87-118).
 
         x1: target mel (B, T, n_feats); mask (B, T, 1).
+        t/z may be injected explicitly (parity tests); otherwise drawn from rng.
         Returns (loss, y) with y the noisy interpolant.
         """
         b = mu.shape[0]
-        t_rng, z_rng = jax.random.split(rng)
-        t = jax.random.uniform(t_rng, (b, 1, 1), x1.dtype)
-        z = jax.random.normal(z_rng, x1.shape, x1.dtype)
+        if t is None or z is None:
+            t_rng, z_rng = jax.random.split(rng)
+            t = jax.random.uniform(t_rng, (b, 1, 1), x1.dtype) if t is None else t
+            z = jax.random.normal(z_rng, x1.shape, x1.dtype) if z is None else z
 
         sigma_min = self.cfg.sigma_min
         y = (1 - (1 - sigma_min) * t) * z + t * x1
