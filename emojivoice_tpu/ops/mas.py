@@ -48,7 +48,9 @@ def _forward_scan(logp: jnp.ndarray, t_y: jnp.ndarray) -> jnp.ndarray:
         return new_col, new_col
 
     ys = jnp.arange(logp.shape[1])
-    _, cols = jax.lax.scan(step, jnp.full((t_x_max,), MAX_NEG, logp.dtype), (ys, logp.T))
+    # unroll: the per-frame body is tiny vector work; loop overhead dominates
+    _, cols = jax.lax.scan(step, jnp.full((t_x_max,), MAX_NEG, logp.dtype), (ys, logp.T),
+                           unroll=8)
     return cols.T  # (T_x, T_y)
 
 
@@ -70,7 +72,7 @@ def _backtrace_scan(value: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray) -> j
         return jnp.where(dec, index - 1, index), row
 
     ys = jnp.arange(t_y_max - 1, -1, -1)
-    _, rows = jax.lax.scan(step, t_x - 1, (ys, prev_cols[:, ys].T))
+    _, rows = jax.lax.scan(step, t_x - 1, (ys, prev_cols[:, ys].T), unroll=8)
     return rows[::-1].T  # (T_x, T_y)
 
 
