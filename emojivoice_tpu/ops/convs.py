@@ -90,6 +90,51 @@ def conv_transpose1d(
     return out
 
 
+def conv_transpose1d_subpixel(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    precision=None,
+) -> jnp.ndarray:
+    """conv_transpose1d via phase decomposition (sub-pixel / depth-to-space).
+
+    Identical output to :func:`conv_transpose1d`, different lowering: instead
+    of an input-dilated conv (XLA materializes the stride-1 zero lattice),
+    compute one dense conv producing ``stride·C_out`` channels and interleave
+    phases by reshape.  For upsampling convs (HiFi-GAN's k=16,s=8 stages)
+    this turns a mostly-zero convolution into a dense MXU matmul.
+
+    Derivation: y[m] = Σ_d x[t₀−d]·W[r+d·s] with u=m+padding, r=u mod s,
+    t₀=⌊u/s⌋ — i.e. per output phase r a small conv over x with kernel taps
+    W[r::s], then y[u]=z[t₀, phase r], trimmed by `padding`.
+    """
+    k, cin, cout = w.shape
+    s = stride
+    n = -(-k // s)  # taps per phase
+    t = x.shape[1]
+    out_len = (t - 1) * s - 2 * padding + k
+
+    # phase kernels: K[d, :, r·cout:(r+1)·cout] = W[r + d·s]
+    kr = jnp.zeros((n, cin, s * cout), w.dtype)
+    for r in range(s):
+        taps = w[r::s]  # (n_r, cin, cout)
+        kr = kr.at[: taps.shape[0], :, r * cout : (r + 1) * cout].set(taps)
+    kr = jnp.flip(kr, axis=0)  # so a plain conv computes Σ_d x[t₀−d]·K[d]
+
+    x_pad = jnp.pad(x, ((0, 0), (n - 1, n), (0, 0)))
+    z = jax.lax.conv_general_dilated(
+        x_pad, kr, window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=_DIMS, precision=precision,
+    )  # (B, T+n, s·cout)
+    y = z.reshape(z.shape[0], -1, cout)[:, padding : padding + out_len]
+    if b is not None:
+        y = y + b
+    return y
+
+
 def fold_weight_norm(g: jnp.ndarray, v: jnp.ndarray, dim_out_axis: int = -1) -> jnp.ndarray:
     """Fold torch weight_norm (g, v) into a plain kernel: w = g * v/||v||.
 

@@ -73,9 +73,13 @@ class ResBlock2(nn.Module):
 
 class HiFiGANGenerator(nn.Module):
     """mel (B, T, num_mels) → waveform (B, T·256) in [-1, 1]
-    (reference: hifigan/models.py:148-197)."""
+    (reference: hifigan/models.py:148-197).
+
+    subpixel_upsample selects the phase-decomposed lowering for the
+    transposed-conv upsample stages (identical numerics)."""
 
     cfg: HiFiGANConfig
+    subpixel_upsample: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -87,7 +91,8 @@ class HiFiGANGenerator(nn.Module):
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
+            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, subpixel=self.subpixel_upsample,
+                                name=f"ups_{i}")(x)
             xs = None
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
                 block = res_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")

@@ -90,3 +90,13 @@ def test_discriminators_and_losses():
     fl = feature_loss(fr, fg)
     for v in (dl, gl, fl):
         assert np.isfinite(float(v))
+
+
+def test_subpixel_upsample_identical(voc):
+    """Phase-decomposed upsample lowering == input-dilated lowering."""
+    cfg, model, params = voc
+    model_sp = HiFiGANGenerator(cfg=cfg, subpixel_upsample=True)
+    mel = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 12))
+    a = model.apply(params, mel)
+    b = model_sp.apply(params, mel)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
