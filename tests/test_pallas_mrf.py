@@ -1,0 +1,88 @@
+"""Fused Pallas MRF stage vs the flax res-block composition (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emojivoice_tpu.config import HiFiGANConfig
+from emojivoice_tpu.ops.pallas_mrf import mrf_stage_pallas, stack_resblock_weights
+from emojivoice_tpu.vocoder import HiFiGANGenerator
+from emojivoice_tpu.vocoder.hifigan import ResBlock1
+
+
+def _reference_mrf(params, x, cfg, stage):
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    xs = None
+    for j, (k, d) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+        block = ResBlock1(x.shape[-1], k, tuple(d))
+        sub = {"params": params["params"][f"resblocks_{stage * num_kernels + j}"]}
+        r = block.apply(sub, x)
+        xs = r if xs is None else xs + r
+    return xs / num_kernels
+
+
+@pytest.mark.parametrize("t_len,t_tile", [(96, 64), (128, 128), (70, 32)])
+def test_pallas_mrf_matches_flax(rng, t_len, t_tile):
+    cfg = HiFiGANConfig(
+        upsample_rates=(4,),
+        upsample_kernel_sizes=(8,),
+        upsample_initial_channel=32,  # stage 0 channels: 16
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 12)))
+
+    c = cfg.upsample_initial_channel // 2
+    x = jnp.asarray(rng.normal(size=(2, t_len, c)).astype(np.float32))
+
+    ref = _reference_mrf(params, x, cfg, stage=0)
+    weights = stack_resblock_weights(params, len(cfg.resblock_kernel_sizes), 0,
+                                     [len(d) for d in cfg.resblock_dilation_sizes])
+    got = mrf_stage_pallas(x, weights, cfg.resblock_kernel_sizes,
+                           tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+                           t_tile=t_tile, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_mrf_v1_kernels(rng):
+    """Real v1 kernel/dilation pattern (3,7,11 × (1,3,5)) on a small channel count."""
+    cfg = HiFiGANConfig(
+        upsample_rates=(2,),
+        upsample_kernel_sizes=(4,),
+        upsample_initial_channel=16,
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 12)))
+    c = 8
+    x = jnp.asarray(rng.normal(size=(1, 200, c)).astype(np.float32))
+    ref = _reference_mrf(params, x, cfg, stage=0)
+    weights = stack_resblock_weights(params, 3, 0, [3, 3, 3])
+    got = mrf_stage_pallas(x, weights, cfg.resblock_kernel_sizes,
+                           tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+                           t_tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_hifigan_apply_pallas_matches_flax(rng):
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, 12)))
+    mel = jnp.asarray(rng.normal(size=(2, 25, 12)).astype(np.float32) * 2 - 6)
+    ref = voc.apply(params, mel)
+    got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
