@@ -16,6 +16,9 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.slow
+
+
 from emojivoice_tpu.io.torch_ckpt import export_matcha_state_dict
 from emojivoice_tpu.models import MatchaTTS
 

@@ -6,6 +6,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture
 def dataset(tmp_path, rng):

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
+
 from emojivoice_tpu.config import OptimizerConfig
 from emojivoice_tpu.parallel.mesh import make_mesh, shard_batch
 from emojivoice_tpu.training import create_train_state, make_eval_step, make_train_step

@@ -1,8 +1,12 @@
 """Vocoder GAN training step (capability the reference ships but never wires)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow
+
 
 from emojivoice_tpu.parallel.mesh import make_mesh, shard_batch
 from emojivoice_tpu.training.vocoder_train import create_vocoder_state, make_vocoder_train_step
