@@ -112,3 +112,21 @@ def test_cli_file_mode_with_speakers(tmp_path, monkeypatch):
                        "--output_folder", str(out), "--seed", "0", "--batched"])
     assert rc == 0
     assert len(list(out.glob("*.wav"))) == 2
+
+
+def test_warmup_compiles_programs(pipe):
+    n_a, n_b = len(pipe._stage_a), len(pipe._stage_b)
+    pipe.warmup(n_timesteps=2)
+    assert len(pipe._stage_a) >= n_a and len(pipe._stage_b) >= n_b
+
+
+def test_pcm16_close_to_f32(pipe):
+    a = pipe.synthesise(["pcm check"], spks=[1], n_timesteps=2, seed=0)[0]
+    b = pipe.synthesise(["pcm check"], spks=[1], n_timesteps=2, seed=0, pcm16=True)[0]
+    n = min(len(a.wav), len(b.wav))
+    assert np.abs(a.wav[:n] - b.wav[:n]).max() < 1e-4  # 1-LSB quantization
+
+
+def test_mel_only_mode(pipe):
+    res = pipe.synthesise(["no vocoder"], spks=[1], n_timesteps=2, seed=0, vocode=False)[0]
+    assert res.wav.size == 0 and res.mel.shape[0] == res.mel_length
