@@ -71,6 +71,47 @@ class TorchGenerator(nn.Module):
         return torch.tanh(self.conv_post(x))
 
 
+def test_hifigan_parity_vs_reference_code(rng):
+    """Oracle is the ACTUAL reference Generator (not our torch twin):
+    /root/reference/Matcha-TTS/matcha/hifigan/models.py:148-206, imported
+    directly (it is torch-only).  Random-init at the full v1 architecture,
+    convert its weight-normed state_dict, compare waveforms."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/Matcha-TTS")
+    try:
+        from matcha.hifigan.env import AttrDict
+        from matcha.hifigan.models import Generator as RefGenerator
+    finally:
+        sys.path.pop(0)
+
+    cfg = HiFiGANConfig()  # full v1: conv_pre in the reference hardcodes 80 mels
+    h = AttrDict(
+        dict(
+            resblock=cfg.resblock,
+            upsample_rates=list(cfg.upsample_rates),
+            upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+            upsample_initial_channel=cfg.upsample_initial_channel,
+            resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+            resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+        )
+    )
+    torch.manual_seed(1234)
+    ref = RefGenerator(h).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_hifigan_state_dict(sd, cfg)
+    ours = HiFiGANGenerator(cfg=cfg)
+
+    mel = rng.normal(size=(1, 80, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(mel)).numpy()[:, 0, :]
+    got = np.asarray(ours.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
+    assert got.shape == want.shape == (1, 16 * cfg.total_upsample)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # sanity: a real waveform-scale signal, not degenerate
+    assert float(np.abs(want).max()) > 1e-3
+
+
 def test_hifigan_generator_parity(rng):
     cfg = HiFiGANConfig(
         upsample_rates=(4, 4),
