@@ -26,9 +26,7 @@ from tests.test_models import tiny_cfg
 from tests.torch_oracle import MatchaOracle
 
 
-@pytest.fixture(scope="module")
-def pair():
-    cfg = tiny_cfg()  # n_spks=3, n_feats=12, 2 enc layers, (16,16) decoder
+def _make_pair(cfg):
     model = MatchaTTS(cfg=cfg)
     rng = jax.random.PRNGKey(0)
     x = jnp.ones((1, 8), jnp.int32)
@@ -48,6 +46,11 @@ def pair():
     assert missing == [], missing
     oracle.eval()
     return cfg, model, params, oracle
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return _make_pair(tiny_cfg())  # n_spks=3, n_feats=12, 2 enc layers, (16,16) decoder
 
 
 @pytest.mark.parametrize("steps,tx_len", [(2, 12), (4, 16)])
@@ -83,6 +86,47 @@ def test_synthesise_parity(pair, steps, tx_len):
         assert mae < 1e-2, f"mel-MAE {mae} over budget"
         assert mae < 1e-4, f"mel-MAE {mae} unexpectedly high for same-weights parity"
     # alignment matrices identical
+    np.testing.assert_allclose(np.asarray(ours["attn"]), theirs["attn"].numpy(), atol=1e-5)
+
+
+def test_synthesise_parity_flagship(rng):
+    """Same-weights parity at the PRODUCTION config — emoji_multi flagship
+    (n_spks=109, 192-ch/6-layer encoder, 768 filter channels, (256,256)
+    decoder, real head dims).  Short sequences keep CPU runtime sane; what
+    this catches is size-dependent layout/rounding drift (e.g. the
+    reference's int(k_channels*0.5) RoPE truncation, text_encoder.py:203)
+    that a tiny config can never exercise.
+    Reference: configs/model/matcha.yaml + configs/data/emoji_multi.yaml."""
+    from emojivoice_tpu.config import get_preset
+
+    cfg, model, params, oracle = _make_pair(get_preset("emoji_multi").model)
+    assert cfg.n_spks == 109 and cfg.encoder.n_channels == 192 and cfg.decoder.channels == (256, 256)
+
+    TX, TY, steps = 16, 48, 2
+    x_np = np.zeros((2, TX), np.int32)
+    x_np[0, :14] = rng.integers(1, 170, 14)
+    x_np[1, :10] = rng.integers(1, 170, 10)
+    xl = np.array([14, 10], np.int32)
+    spks = np.array([79, 107], np.int32)  # real emoji-voice speaker ids
+    z_np = rng.normal(size=(2, TY, cfg.n_feats)).astype(np.float32) * 0.667
+
+    ours = model.apply(
+        {"params": jax.device_get(params)["params"]},
+        jnp.asarray(x_np), jnp.asarray(xl), TY, steps, 0.667, jnp.asarray(spks), 1.0,
+        None, jnp.asarray(z_np), method=MatchaTTS.synthesise,
+    )
+    theirs = oracle.synthesise(
+        torch.from_numpy(x_np.astype(np.int64)), torch.from_numpy(xl.astype(np.int64)),
+        TY, steps, 0.667, torch.from_numpy(spks.astype(np.int64)), 1.0,
+        torch.from_numpy(z_np.transpose(0, 2, 1)),
+    )
+
+    np.testing.assert_array_equal(np.asarray(ours["mel_lengths"]), theirs["mel_lengths"].numpy())
+    for i in range(2):
+        ml = int(ours["mel_lengths"][i])
+        mae = float(np.abs(np.asarray(ours["mel"][i][:ml]) - theirs["mel"][i, :, :ml].numpy().T).mean())
+        assert mae < 1e-2, f"mel-MAE {mae} over BASELINE budget at flagship size"
+        assert mae < 1e-3, f"mel-MAE {mae} unexpectedly high for same-weights parity"
     np.testing.assert_allclose(np.asarray(ours["attn"]), theirs["attn"].numpy(), atol=1e-5)
 
 
