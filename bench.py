@@ -56,8 +56,12 @@ def main() -> int:
 
     rtfs, secs = [], []
     for i in range(10):
-        res = pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=i, fused=True,
-                              fused_mel_bucket=m_bucket, keep_mel=False, pcm16=True)[0]
+        batch = pipe.synthesise([text], spks=spk, n_timesteps=steps, seed=i, fused=True,
+                                fused_mel_bucket=m_bucket, keep_mel=False, pcm16=True)
+        # guardrail: the reported metric is SINGLE-STREAM RTF; a batched run
+        # would amortize wall-clock over items and silently inflate the number
+        assert len(batch) == 1, "bench must run batch size 1"
+        res = batch[0]
         rtfs.append(res.rtf_w)
         secs.append(len(res.wav) / res.sample_rate)
     value = float(np.median(rtfs))

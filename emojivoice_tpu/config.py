@@ -147,7 +147,14 @@ class DataConfig:
 
 @_frozen
 class OptimizerConfig:
-    """Adam, lr 1e-4 (reference: configs/model/optimizer/adam.yaml)."""
+    """Adam, lr 1e-4 (reference: configs/model/optimizer/adam.yaml).
+
+    LR schedules (reference capability: baselightningmodule.configure_optimizers
+    :30-54 accepts any partial-instantiated torch scheduler; the shipped
+    experiments use constant lr).  Here a schedule is an optax schedule keyed
+    on the optimizer step count, so resume is automatically position-correct:
+    restoring opt_state restores the schedule state — no last_epoch juggling.
+    """
 
     name: str = "adam"
     lr: float = 1e-4
@@ -155,6 +162,11 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     grad_clip: float = 5.0  # reference: configs/trainer/default.yaml gradient_clip_val
+    scheduler: Optional[str] = None  # None/"constant" | "exponential" | "cosine"
+    warmup_steps: int = 0  # linear 0→lr warmup prepended when > 0
+    decay_steps: int = 100_000  # horizon for cosine / transition for exponential
+    scheduler_gamma: float = 0.1  # exponential: lr * gamma^(step/decay_steps)
+    lr_end: float = 0.0  # cosine floor (alpha = lr_end/lr)
 
 
 @_frozen

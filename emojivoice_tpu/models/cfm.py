@@ -67,11 +67,14 @@ class CFM(nn.Module):
         return x
 
     def compute_loss(self, x1, mask, mu, spks=None, *, rng=None, deterministic: bool = False,
-                     t=None, z=None):
+                     t=None, z=None, row_mask=None):
         """CFM training loss (reference: flow_matching.py:87-118).
 
         x1: target mel (B, T, n_feats); mask (B, T, 1).
         t/z may be injected explicitly (parity tests); otherwise drawn from rng.
+        row_mask (B,) optionally weights whole batch rows (0 = padding row
+        contributing nothing to value or gradient — used by the training
+        loop's uneven-final-batch padding); None = reference behavior.
         Returns (loss, y) with y the noisy interpolant.
         """
         b = mu.shape[0]
@@ -90,5 +93,10 @@ class CFM(nn.Module):
         # masked but the target u is not, so padded frames add a
         # parameter-independent noise term to the loss value (zero gradient:
         # pred ≡ 0 there).  Kept for loss-curve comparability.
-        loss = jnp.sum(jnp.square(pred - u)) / (jnp.sum(mask) * u.shape[-1])
+        sq = jnp.square(pred - u)
+        if row_mask is None:
+            loss = jnp.sum(sq) / (jnp.sum(mask) * u.shape[-1])
+        else:
+            w = row_mask[:, None, None].astype(sq.dtype)
+            loss = jnp.sum(sq * w) / (jnp.sum(mask * w) * u.shape[-1])
         return loss, y

@@ -162,11 +162,15 @@ class MatchaTTS(nn.Module):
         out_size: Optional[int] = None,
         rng=None,
         deterministic: bool = False,
+        row_mask=None,
     ):
         """Training forward → (dur_loss, prior_loss, diff_loss, attn)
         (reference: matcha_tts.py:154-246).
 
         x (B, T_x) int ids; y (B, T_y, n_feats) normalized mel; rng required.
+        row_mask (B,) optionally zero-weights whole rows — the training
+        loop's uneven-final-batch padding (the reference's DDP drops these
+        batches instead); None reproduces the reference losses exactly.
         """
         cfg = self.cfg
         spk_e = self._embed_spks(spks)
@@ -192,7 +196,12 @@ class MatchaTTS(nn.Module):
 
         # duration loss on log-durations (reference: matcha_tts.py:203-204)
         logw_ = jnp.log(1e-8 + jnp.sum(attn, axis=-1))[..., None] * x_mask
-        dur_loss = jnp.sum(jnp.square(logw - logw_)) / jnp.sum(x_lengths)
+        dur_se = jnp.square(logw - logw_)
+        if row_mask is None:
+            dur_loss = jnp.sum(dur_se) / jnp.sum(x_lengths)
+        else:
+            rw = row_mask.astype(dur_se.dtype)
+            dur_loss = jnp.sum(dur_se * rw[:, None, None]) / jnp.sum(rw * x_lengths)
 
         if out_size is not None and out_size < y_max_length:
             rng, crop_rng = jax.random.split(rng)
@@ -200,11 +209,17 @@ class MatchaTTS(nn.Module):
 
         mu_y = jnp.einsum("bxy,bxc->byc", attn, mu_x)
 
-        diff_loss, _ = self.decoder.compute_loss(y, y_mask, mu_y, spk_e, rng=rng, deterministic=deterministic)
+        diff_loss, _ = self.decoder.compute_loss(
+            y, y_mask, mu_y, spk_e, rng=rng, deterministic=deterministic, row_mask=row_mask
+        )
 
         if cfg.prior_loss:
-            prior_loss = jnp.sum(0.5 * (jnp.square(y - mu_y) + math.log(2 * math.pi)) * y_mask)
-            prior_loss = prior_loss / (jnp.sum(y_mask) * cfg.n_feats)
+            prior_se = 0.5 * (jnp.square(y - mu_y) + math.log(2 * math.pi)) * y_mask
+            if row_mask is None:
+                prior_loss = jnp.sum(prior_se) / (jnp.sum(y_mask) * cfg.n_feats)
+            else:
+                rw3 = row_mask.astype(prior_se.dtype)[:, None, None]
+                prior_loss = jnp.sum(prior_se * rw3) / (jnp.sum(y_mask * rw3) * cfg.n_feats)
         else:
             prior_loss = jnp.asarray(0.0)
 

@@ -48,13 +48,20 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
 
 
 def pad_batch_to_multiple(batch: dict, n: int) -> dict:
-    """Pad the batch dim up to a multiple of n by repeating the final row —
-    lets uneven final batches shard over the mesh (eval-time use; repeated
-    rows bias averaged metrics by at most (n-1)/B)."""
+    """Pad the batch dim up to a multiple of n by repeating the final row,
+    and attach a "row_mask" (B,) f32 — 1 for real rows, 0 for padding.
+
+    The losses weight rows by row_mask (models/matcha.py), so padded rows
+    contribute exactly nothing to values or gradients: uneven final batches
+    shard over the mesh without dropping data (the reference's DDP simply
+    drops them).  row_mask is attached even when no padding is needed so the
+    compiled-step pytree structure (and thus the XLA program cache) is the
+    same for even and uneven batches."""
     b = next(iter(batch.values())).shape[0]
     pad = (-b) % n
-    if pad == 0:
-        return batch
-    import numpy as np
-
-    return {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0) for k, v in batch.items()}
+    out = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0) if pad else v
+           for k, v in batch.items()}
+    out["row_mask"] = np.concatenate(
+        [np.ones(b, np.float32), np.zeros(pad, np.float32)]
+    )
+    return out

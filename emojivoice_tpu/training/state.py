@@ -33,12 +33,38 @@ class TrainState:
     step: jnp.ndarray
 
 
+def make_schedule(cfg: OptimizerConfig):
+    """Step-count LR schedule from the config; a float for constant lr.
+
+    Reference analog: the optional torch scheduler in
+    baselightningmodule.configure_optimizers:30-54.  optax schedules are
+    driven by the restored optimizer step count, so resume lands at the
+    right position without the reference's last_epoch bookkeeping.
+    """
+    name = (cfg.scheduler or "constant").lower()
+    if name == "constant":
+        main = optax.constant_schedule(cfg.lr) if cfg.warmup_steps else cfg.lr
+    elif name == "exponential":
+        main = optax.exponential_decay(cfg.lr, transition_steps=cfg.decay_steps,
+                                       decay_rate=cfg.scheduler_gamma)
+    elif name == "cosine":
+        alpha = cfg.lr_end / cfg.lr if cfg.lr else 0.0
+        main = optax.cosine_decay_schedule(cfg.lr, cfg.decay_steps, alpha=alpha)
+    else:
+        raise ValueError(f"Unknown scheduler: {cfg.scheduler!r}")
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+        return optax.join_schedules([warmup, main], [cfg.warmup_steps])
+    return main
+
+
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    lr = make_schedule(cfg)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay)
+        optax.adamw(lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay)
         if cfg.weight_decay
-        else optax.adam(cfg.lr, b1=cfg.b1, b2=cfg.b2),
+        else optax.adam(lr, b1=cfg.b1, b2=cfg.b2),
     )
 
 
@@ -68,6 +94,7 @@ def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):
         out_size=out_size,
         rng=rng,
         deterministic=deterministic,
+        row_mask=batch.get("row_mask"),
         rngs=None if deterministic else {"dropout": jax.random.fold_in(rng, 1)},
     )
     return dur, prior, diff
@@ -83,6 +110,7 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
     """
     model = MatchaTTS(cfg=model_cfg)
     tx = make_optimizer(opt_cfg)
+    sched = make_schedule(opt_cfg)
     out_size = model_cfg.out_size
 
     def step_fn(state: TrainState, batch, rng):
@@ -105,6 +133,7 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
             "prior_loss": prior,
             "diff_loss": diff,
             "grad_norm": grad_norm,
+            "lr": sched(state.step) if callable(sched) else jnp.asarray(sched),
         }
         return new_state, metrics
 

@@ -32,6 +32,13 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=-1)
     p.add_argument("--max_epochs", type=int, default=-1)
     p.add_argument("--lr", type=float, default=1e-4)
+    # LR schedule (reference capability: baselightningmodule.py:30-54)
+    p.add_argument("--scheduler", default=None, choices=[None, "constant", "exponential", "cosine"],
+                   help="optax LR schedule keyed on optimizer step (resume-correct)")
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--decay_steps", type=int, default=100_000)
+    p.add_argument("--scheduler_gamma", type=float, default=0.1)
+    p.add_argument("--lr_end", type=float, default=0.0)
     p.add_argument("--out_size", type=int, default=None, help="Grad-TTS segment crop (multiple of 4)")
     p.add_argument("--from_torch_ckpt", default=None, help="fine-tune from a reference .ckpt")
     p.add_argument("--resume", action="store_true", help="resume from latest orbax ckpt in out_dir")
@@ -57,8 +64,24 @@ def build_parser():
 
 
 def main(argv=None) -> int:
+    """task_wrapper-style entry (reference: utils/utils.py:52-104): run the
+    loop; on ANY failure write the traceback to out_dir/exception.log, make
+    sure loggers are closed, and re-raise."""
     args = build_parser().parse_args(argv)
+    try:
+        return _run(args)
+    except Exception:
+        import traceback
 
+        out = Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "exception.log").write_text(traceback.format_exc())
+        print(f"[train] FAILED — traceback written to {out / 'exception.log'}",
+              file=sys.stderr, flush=True)
+        raise
+
+
+def _run(args) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +112,10 @@ def main(argv=None) -> int:
             data=dataclasses.replace(root.data, data_statistics=ds_stats),
         )
     model_cfg = dataclasses.replace(root.model, out_size=args.out_size)
-    opt_cfg = dataclasses.replace(root.optimizer, lr=args.lr)
+    opt_cfg = dataclasses.replace(
+        root.optimizer, lr=args.lr, scheduler=args.scheduler, warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps, scheduler_gamma=args.scheduler_gamma, lr_end=args.lr_end,
+    )
     data_cfg = dataclasses.replace(
         root.data,
         train_filelist_path=args.train_filelist,
@@ -174,53 +200,61 @@ def main(argv=None) -> int:
     epoch = 0
     t_start = dt.datetime.now()
     done = False
-    while not done:
-        epoch += 1
-        if args.max_epochs > 0 and epoch > args.max_epochs:
-            break
-        epoch_batches = Prefetcher(batcher)
-        if args.overfit_batches > 0:
-            import itertools
-
-            first = list(itertools.islice(iter(batcher), args.overfit_batches))
-            epoch_batches = first
-        for bi, batch in enumerate(epoch_batches):
-            if 0 < args.limit_train_batches <= bi:
+    try:
+        while not done:
+            epoch += 1
+            if args.max_epochs > 0 and epoch > args.max_epochs:
                 break
-            if batch["x"].shape[0] % n_dev != 0:
-                continue  # uneven final batch cannot shard; skip (DDP drop_last analog)
-            batch = shard_batch(mesh, batch)
-            state, m = train_step(state, batch, rng)
-            step_idx = int(state.step)
-            if step_idx % args.log_every == 0:
-                log_metrics("train", step_idx, m)
-                for k, v in m.items():
-                    tb.scalar(f"train/{k}", float(v), step_idx)
-            if args.val_every_steps > 0 and step_idx % args.val_every_steps == 0:
-                vms = []
-                for vb in val_batcher:
-                    vb = pad_batch_to_multiple(vb, n_dev)
-                    vms.append({k: float(v) for k, v in
-                                eval_step(state.params, shard_batch(mesh, vb),
-                                          jax.random.PRNGKey(0)).items()})
-                if vms:
-                    avg = {k: float(np.mean([m[k] for m in vms])) for k in vms[0]}
-                    log_metrics("val", step_idx, avg)
-                    for k, v in avg.items():
-                        tb.scalar(f"val/{k}", v, step_idx)
-                    render_val_samples(step_idx)
-            if args.ckpt_every_steps > 0 and step_idx % args.ckpt_every_steps == 0:
-                mgr.save(step_idx, jax.device_get(
-                    {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
-                    cfg=dataclasses.replace(root, model=model_cfg))
-            if 0 < args.max_steps <= step_idx:
-                done = True
-                break
+            epoch_batches = Prefetcher(batcher)
+            if args.overfit_batches > 0:
+                import itertools
 
-    mgr.save(step_idx, jax.device_get(
-        {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
-        cfg=dataclasses.replace(root, model=model_cfg), force=True)
-    mgr.close()
+                first = list(itertools.islice(iter(batcher), args.overfit_batches))
+                epoch_batches = first
+            for bi, batch in enumerate(epoch_batches):
+                if 0 < args.limit_train_batches <= bi:
+                    break
+                # uneven final batch: pad with zero-weight rows so it still
+                # shards — no data dropped (the reference's DDP drop_last
+                # analog would discard a whole tail batch per epoch, real
+                # data for the 2-min-per-emoji fine-tune sets, /README.md:150)
+                batch = pad_batch_to_multiple(batch, n_dev)
+                batch = shard_batch(mesh, batch)
+                state, m = train_step(state, batch, rng)
+                step_idx = int(state.step)
+                if step_idx % args.log_every == 0:
+                    log_metrics("train", step_idx, m)
+                    for k, v in m.items():
+                        tb.scalar(f"train/{k}", float(v), step_idx)
+                if args.val_every_steps > 0 and step_idx % args.val_every_steps == 0:
+                    vms = []
+                    for vb in val_batcher:
+                        vb = pad_batch_to_multiple(vb, n_dev)
+                        vms.append({k: float(v) for k, v in
+                                    eval_step(state.params, shard_batch(mesh, vb),
+                                              jax.random.PRNGKey(0)).items()})
+                    if vms:
+                        avg = {k: float(np.mean([m[k] for m in vms])) for k in vms[0]}
+                        log_metrics("val", step_idx, avg)
+                        for k, v in avg.items():
+                            tb.scalar(f"val/{k}", v, step_idx)
+                        render_val_samples(step_idx)
+                if args.ckpt_every_steps > 0 and step_idx % args.ckpt_every_steps == 0:
+                    mgr.save(step_idx, jax.device_get(
+                        {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
+                        cfg=dataclasses.replace(root, model=model_cfg))
+                if 0 < args.max_steps <= step_idx:
+                    done = True
+                    break
+
+        mgr.save(step_idx, jax.device_get(
+            {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
+            cfg=dataclasses.replace(root, model=model_cfg), force=True)
+    finally:
+        # always close loggers/checkpointer, success or failure (the
+        # reference's task_wrapper "close wandb" guarantee)
+        tb.close()
+        mgr.close()
     print(f"[train] finished at step {step_idx} "
           f"({(dt.datetime.now() - t_start).total_seconds():.0f}s)", flush=True)
     return 0

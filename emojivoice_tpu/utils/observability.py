@@ -165,3 +165,11 @@ class TensorBoardWriter:
     def flush(self):
         if self._tf_writer is not None:
             self._tf_writer.flush()
+
+    def close(self):
+        """Flush and release the tf writer (the reference's task_wrapper
+        always-close-loggers guarantee, utils/utils.py:94-100)."""
+        if self._tf_writer is not None:
+            self._tf_writer.flush()
+            self._tf_writer.close()
+            self._tf_writer = None

@@ -79,3 +79,78 @@ def test_train_cli_end_to_end(dataset):
     metrics = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
     steps = [m["step"] for m in metrics if m["tag"] == "train"]
     assert max(steps) >= 5
+
+
+def test_task_wrapper_writes_exception_log(tmp_path):
+    """Reference task_wrapper analog (utils/utils.py:52-104): failure →
+    traceback persisted in out_dir/exception.log, then re-raised."""
+    from emojivoice_tpu.training.train import main
+
+    out = tmp_path / "failrun"
+    with pytest.raises(Exception):
+        main([
+            "--preset", "tiny",
+            "--train_filelist", str(tmp_path / "does_not_exist.txt"),
+            "--valid_filelist", str(tmp_path / "does_not_exist.txt"),
+            "--out_dir", str(out),
+        ])
+    log = out / "exception.log"
+    assert log.exists()
+    assert "Traceback" in log.read_text()
+
+
+def test_train_cli_scheduler_and_uneven_batches(dataset):
+    """Cosine schedule + warmup shows a varying lr metric, and a batch size
+    that does NOT divide the dataset (4 items, bs=3) trains without dropping
+    the tail batch (row_mask padding path)."""
+    from emojivoice_tpu.training.train import main
+
+    train, val, tmp = dataset
+    out = tmp / "run_sched"
+    rc = main([
+        "--preset", "tiny",
+        "--train_filelist", str(train),
+        "--valid_filelist", str(val),
+        "--out_dir", str(out),
+        "--batch_size", "3",
+        "--max_steps", "4",
+        "--val_every_steps", "0",
+        "--ckpt_every_steps", "0",
+        "--log_every", "1",
+        "--num_devices", "2",
+        "--render_val_samples", "0",
+        "--scheduler", "cosine",
+        "--warmup_steps", "2",
+        "--decay_steps", "10",
+        "--lr", "1e-3",
+    ])
+    assert rc == 0
+    metrics = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
+    train_metrics = [m for m in metrics if m["tag"] == "train"]
+    # 4 items / bs 3 → 2 batches per epoch (one padded), 2 epochs → 4 steps
+    assert len(train_metrics) == 4
+    lrs = [m["lr"] for m in train_metrics]
+    # linear warmup over 2 steps from 0 (lr logged pre-update at steps 0,1),
+    # peak at step 2, cosine decay after
+    assert lrs[0] < lrs[1] < lrs[2]
+    np.testing.assert_allclose(lrs[2], 1e-3, rtol=1e-5)
+    assert lrs[3] < lrs[2]
+    assert all(np.isfinite(m["loss"]) for m in train_metrics)
+
+
+def test_make_schedule_shapes():
+    from emojivoice_tpu.config import OptimizerConfig
+    from emojivoice_tpu.training.state import make_schedule
+
+    const = make_schedule(OptimizerConfig())
+    assert const == 1e-4
+    exp = make_schedule(OptimizerConfig(scheduler="exponential", decay_steps=100,
+                                        scheduler_gamma=0.5))
+    np.testing.assert_allclose(float(exp(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(exp(100)), 5e-5, rtol=1e-6)
+    cos = make_schedule(OptimizerConfig(scheduler="cosine", decay_steps=100, lr_end=1e-5))
+    np.testing.assert_allclose(float(cos(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(cos(100)), 1e-5, rtol=1e-6)
+    warm = make_schedule(OptimizerConfig(scheduler="cosine", warmup_steps=10, decay_steps=100))
+    assert float(warm(0)) == 0.0
+    np.testing.assert_allclose(float(warm(10)), 1e-4, rtol=1e-6)

@@ -102,3 +102,51 @@ def test_eval_step():
     # deterministic: same key → same losses
     m2 = ev(state.params, make_batch(), jax.random.PRNGKey(0))
     assert float(metrics["loss"]) == float(m2["loss"])
+
+
+def test_uneven_batch_padding_is_content_invariant():
+    """Zero-weight padded rows contribute NOTHING: running the padded batch
+    with two different garbage contents in the pad rows gives bit-identical
+    loss and parameter updates (same rng → same shapes → same noise draws).
+    This is the guarantee that lets the train loop pad uneven final batches
+    instead of dropping them (reference DDP drop_last analog)."""
+    from emojivoice_tpu.parallel.mesh import pad_batch_to_multiple
+
+    cfg = tiny_cfg()
+    opt = OptimizerConfig()
+    real = make_batch(b=6)
+    padded_a = pad_batch_to_multiple({k: np.asarray(v) for k, v in real.items()}, 8)
+    padded_b = dict(padded_a)
+    grg = np.random.default_rng(99)
+    for k in ("x", "y"):
+        v = np.array(padded_a[k])
+        v[6:] = grg.integers(1, 100, v[6:].shape) if v.dtype.kind == "i" else \
+            grg.normal(size=v[6:].shape).astype(v.dtype)
+        padded_b[k] = v
+    assert padded_a["row_mask"].tolist() == [1, 1, 1, 1, 1, 1, 0, 0]
+
+    mesh = make_mesh(8)
+    step = make_train_step(cfg, opt, mesh=mesh)
+    rng = jax.random.PRNGKey(5)
+    sa, ma = step(create_train_state(cfg, opt, seed=7), shard_batch(mesh, padded_a), rng)
+    sb, mb = step(create_train_state(cfg, opt, seed=7), shard_batch(mesh, padded_b), rng)
+
+    assert float(ma["loss"]) == float(mb["loss"])
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_row_mask_all_ones_matches_no_row_mask():
+    """row_mask of all ones is the identity — the padded path reproduces the
+    reference losses exactly on even batches."""
+    cfg = tiny_cfg()
+    opt = OptimizerConfig()
+    batch = make_batch(b=8)
+    rng = jax.random.PRNGKey(11)
+    step = make_train_step(cfg, opt)
+    _, m_plain = step(create_train_state(cfg, opt, seed=7), batch, rng)
+    with_mask = dict(batch)
+    with_mask["row_mask"] = jnp.ones(8, jnp.float32)
+    _, m_masked = step(create_train_state(cfg, opt, seed=7), with_mask, rng)
+    for k in ("loss", "dur_loss", "prior_loss", "diff_loss"):
+        np.testing.assert_allclose(float(m_plain[k]), float(m_masked[k]), rtol=1e-6)
