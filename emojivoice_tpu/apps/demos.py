@@ -11,9 +11,10 @@ Equivalents of the reference's three case studies
   to ``to_play-<i>.wav`` or direct playback
   (demo_story.ipynb; hri-demo/storytelling/demo_story_script.py:162-193).
 * ``game``      — case3 story-building game: ASR→LLM→TTS loop with the male
-  emoji mapping; console UI here (pygame UI is a rendering shell around the
-  same loop, and its `process_text` call is fork-broken anyway —
-  case3_game/main.py:203).
+  emoji mapping, rendered in the pygame window shell (typewriter reply bar,
+  apps/game_ui.py) when pygame is importable, console fallback otherwise.
+  The reference UI's `process_text` call is fork-broken
+  (case3_game/main.py:203); the intended behavior is implemented.
 """
 
 from __future__ import annotations
@@ -97,9 +98,16 @@ def run_story(pipeline, script_path: str, out_dir: str = None, play: bool = True
 
 
 def run_game(pipeline, turns: int = 0, voice: str = "male", steps: int = 10,
-             speaking_rate: float = 0.8, language: str = "en", llm=None, asr=None, sink=None):
-    """case3 story-building game loop (console UI)."""
+             speaking_rate: float = 0.8, language: str = "en", llm=None, asr=None, sink=None,
+             ui=None, window: bool = True):
+    """case3 story-building game loop.
+
+    UI is the reference's pygame window (typewriter reply rendering,
+    case3_game/main.py:271-401) when pygame is importable, else an
+    interface-compatible console fallback — see apps/game_ui.py.
+    """
     from emojivoice_tpu.apps.feel_me import FeelMe
+    from emojivoice_tpu.apps.game_ui import make_ui
 
     app = FeelMe(
         pipeline,
@@ -112,15 +120,30 @@ def run_game(pipeline, turns: int = 0, voice: str = "male", steps: int = 10,
         language=language,
         prompt=GAME_PROMPT,
     )
+    ui = ui or make_ui(window=window)
     print("Story building game — alternate sentences with the robot. 'end session' quits.")
     count = 0
-    while turns <= 0 or count < turns:
-        user_text = app.asr.transcribe("")
-        if not user_text or "end session" in user_text.lower():
-            break
-        response, spk, spoken = app.turn(user_text)
-        print(f"robot [{spk}]: {response}")
-        count += 1
+    empty_streak = 0
+    try:
+        while (turns <= 0 or count < turns) and ui.pump():
+            user_text = app.asr.transcribe("")
+            if user_text and "end session" in user_text.lower():
+                break
+            if not user_text:
+                # reference main.py:378-389: empty transcription → notice, retry
+                ui.notice("I didn't hear anything, try recording again...")
+                empty_streak += 1
+                if empty_streak >= 3:
+                    break  # dead input source — don't loop forever
+                continue
+            empty_streak = 0
+            response, spk, spoken = app.turn(user_text)
+            ui.typewriter(response)
+            print(f"robot [{spk}]: {response}")
+            ui.clear_text()
+            count += 1
+    finally:
+        ui.close()
     return count
 
 
@@ -138,6 +161,8 @@ def main(argv=None) -> int:
     p.add_argument("--speaking_rate", type=float, default=0.8)
     p.add_argument("--language", default="en")
     p.add_argument("--no_play", action="store_true")
+    p.add_argument("--no_window", action="store_true",
+                   help="game mode: skip the pygame window even if available")
     args = p.parse_args(argv)
 
     if args.mode == "scripted":
@@ -161,7 +186,8 @@ def main(argv=None) -> int:
                   steps=args.steps, speaking_rate=args.speaking_rate, language=args.language)
     elif args.mode == "game":
         run_game(pipe, voice=args.voice, steps=args.steps,
-                 speaking_rate=args.speaking_rate, language=args.language)
+                 speaking_rate=args.speaking_rate, language=args.language,
+                 window=not args.no_window)
     return 0
 
 
