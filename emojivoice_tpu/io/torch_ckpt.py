@@ -287,36 +287,89 @@ def _folded(sd: Dict[str, np.ndarray], name: str) -> np.ndarray:
     return sd[f"{name}.weight"]
 
 
+def _vg(sd: Dict[str, np.ndarray], name: str):
+    """(weight_v, weight_g) in torch layout — synthesized from a plain
+    weight (g = ‖w‖ over dims≥1, v = w) when the ckpt was already folded."""
+    if f"{name}.weight_g" in sd:
+        return sd[f"{name}.weight_v"], sd[f"{name}.weight_g"]
+    w = sd[f"{name}.weight"]
+    axes = tuple(range(1, w.ndim))
+    g = np.sqrt(np.sum(w.astype(np.float64) ** 2, axis=axes, keepdims=True)).astype(np.float32)
+    return w, g
+
+
 def convert_hifigan_state_dict(
-    sd: Dict[str, np.ndarray], cfg: Optional[cfglib.HiFiGANConfig] = None
+    sd: Dict[str, np.ndarray], cfg: Optional[cfglib.HiFiGANConfig] = None, fold: bool = True
 ) -> dict:
+    """Torch HiFi-GAN state dict → flax params.
+
+    fold=True (serving): weight norm folded into plain kernels (the
+    reference's remove_weight_norm-at-load, models.py:199-206).
+    fold=False (training): keep the (v, g) reparameterization so GAN
+    fine-tuning matches upstream optimizer geometry — pair with
+    ``HiFiGANGenerator(weight_norm=True)``.
+    """
     if cfg is None:
         cfg = cfglib.HiFiGANConfig()
     out: dict = {}
-    _set(out, ("conv_pre", "kernel"), _conv_w(_folded(sd, "conv_pre")))
-    _set(out, ("conv_pre", "bias"), sd["conv_pre.bias"])
 
+    def put(mod_path: tuple, torch_name: str, to_flax):
+        if fold:
+            _set(out, mod_path + ("kernel",), to_flax(_folded(sd, torch_name)))
+        else:
+            v, g = _vg(sd, torch_name)
+            _set(out, mod_path + ("v",), to_flax(v))
+            _set(out, mod_path + ("g",), np.asarray(g).reshape(-1))
+        _set(out, mod_path + ("bias",), sd[f"{torch_name}.bias"])
+
+    put(("conv_pre",), "conv_pre", _conv_w)
     n_up = len(cfg.upsample_rates)
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i in range(n_up):
-        _set(out, (f"ups_{i}", "kernel"), _convt_w(_folded(sd, f"ups.{i}")))
-        _set(out, (f"ups_{i}", "bias"), sd[f"ups.{i}.bias"])
+        put((f"ups_{i}",), f"ups.{i}", _convt_w)
     for n in range(n_up * num_kernels):
         # ResBlock1 has convs1/convs2; ResBlock2 has a single convs list
         for group in ("convs1", "convs2", "convs"):
             j = 0
             while f"resblocks.{n}.{group}.{j}.bias" in sd or f"resblocks.{n}.{group}.{j}.weight_g" in sd:
-                _set(out, (f"resblocks_{n}", f"{group}_{j}", "kernel"),
-                     _conv_w(_folded(sd, f"resblocks.{n}.{group}.{j}")))
-                _set(out, (f"resblocks_{n}", f"{group}_{j}", "bias"), sd[f"resblocks.{n}.{group}.{j}.bias"])
+                put((f"resblocks_{n}", f"{group}_{j}"), f"resblocks.{n}.{group}.{j}", _conv_w)
                 j += 1
-    _set(out, ("conv_post", "kernel"), _conv_w(_folded(sd, "conv_post")))
-    _set(out, ("conv_post", "bias"), sd["conv_post.bias"])
+    put(("conv_post",), "conv_post", _conv_w)
     return {"params": out}
 
 
-def load_hifigan_params(path: str, cfg: Optional[cfglib.HiFiGANConfig] = None) -> dict:
-    return convert_hifigan_state_dict(load_torch_state_dict(path), cfg)
+def load_hifigan_params(path: str, cfg: Optional[cfglib.HiFiGANConfig] = None,
+                        fold: bool = True) -> dict:
+    return convert_hifigan_state_dict(load_torch_state_dict(path), cfg, fold=fold)
+
+
+def fold_hifigan_weight_norm(params: dict) -> dict:
+    """Fold trained (v, g) generator params into plain kernels for serving
+    (the reference's remove_weight_norm, models.py:199-206).  Transposed-conv
+    modules (``ups_*``) carry one magnitude per INPUT channel (torch
+    weight_norm dim=0 on an (in, out, k) weight); all others per OUTPUT."""
+
+    import jax
+
+    params = jax.device_get(params)
+
+    def walk(tree: dict, path: tuple) -> dict:
+        if "v" in tree and "g" in tree:
+            v = np.asarray(tree["v"], np.float64)
+            g = np.asarray(tree["g"], np.float64)
+            if any(str(p).startswith("ups_") for p in path):
+                norm = np.sqrt(np.sum(v**2, axis=(0, 2), keepdims=True))
+                kernel = g[None, :, None] * v / norm
+            else:
+                norm = np.sqrt(np.sum(v**2, axis=(0, 1), keepdims=True))
+                kernel = g[None, None, :] * v / norm
+            out = {k: np.asarray(val) for k, val in tree.items() if k not in ("v", "g")}
+            out["kernel"] = kernel.astype(np.float32)
+            return out
+        return {k: walk(val, path + (k,)) if isinstance(val, dict) else val
+                for k, val in tree.items()}
+
+    return walk(params, ())
 
 
 # ---------------------------------------------------------------------------

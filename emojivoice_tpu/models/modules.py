@@ -18,7 +18,13 @@ from emojivoice_tpu.ops.convs import conv1d, conv_transpose1d, conv_transpose1d_
 
 
 class Conv1d(nn.Module):
-    """torch.nn.Conv1d-equivalent in (B, T, C) layout."""
+    """torch.nn.Conv1d-equivalent in (B, T, C) layout.
+
+    weight_norm=True uses the torch weight_norm(dim=0) reparameterization —
+    kernel = g · v/‖v‖ with one magnitude g per OUTPUT channel — so GAN
+    fine-tuning trains in the same optimizer geometry as upstream HiFi-GAN
+    (which keeps weight_norm active during training and folds it only for
+    inference, reference: hifigan/models.py:199-206)."""
 
     features: int
     kernel_size: int
@@ -26,14 +32,19 @@ class Conv1d(nn.Module):
     padding: int = 0
     dilation: int = 1
     use_bias: bool = True
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kernel_size, x.shape[-1], self.features),
-        )
+        kshape = (self.kernel_size, x.shape[-1], self.features)
+        if self.weight_norm:
+            v = self.param("v", nn.initializers.lecun_normal(), kshape)
+            g = self.param("g", nn.initializers.ones, (self.features,))
+            # torch dim=0: per-out-channel norm over (k, in)
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
+            kernel = g[None, None, :] * v / norm
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
         return conv1d(x, kernel, bias, stride=self.stride, padding=self.padding, dilation=self.dilation)
 
@@ -51,14 +62,20 @@ class ConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     subpixel: bool = False
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kernel_size, x.shape[-1], self.features),
-        )
+        kshape = (self.kernel_size, x.shape[-1], self.features)
+        if self.weight_norm:
+            v = self.param("v", nn.initializers.lecun_normal(), kshape)
+            # torch weight shape is (in, out, k) and weight_norm uses dim=0,
+            # so the magnitude is per INPUT channel here
+            g = self.param("g", nn.initializers.ones, (x.shape[-1],))
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 2), keepdims=True))
+            kernel = g[None, :, None] * v / norm
+        else:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(), kshape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
         fn = conv_transpose1d_subpixel if self.subpixel else conv_transpose1d
         return fn(x, kernel, bias, stride=self.stride, padding=self.padding)

@@ -47,8 +47,16 @@ class VocoderTrainState:
 
 
 def create_vocoder_state(cfg: HiFiGANConfig, lr: float = 2e-4, b1: float = 0.8, b2: float = 0.99,
-                         seed: int = 0, gen_params=None, segment_frames: int = 32):
-    gen = HiFiGANGenerator(cfg=cfg)
+                         seed: int = 0, gen_params=None, segment_frames: int = 32,
+                         weight_norm: bool = True):
+    """weight_norm=True (default) trains the generator in the upstream
+    parameterization (one magnitude per channel + direction tensor): load
+    params via load_hifigan_params(..., fold=False).  weight_norm=False
+    trains plain folded kernels — a different optimizer geometry than
+    upstream HiFi-GAN; fine for quick adaptation, not for training parity.
+    (Discriminators train from scratch either way; they are not loaded from
+    reference checkpoints.)"""
+    gen = HiFiGANGenerator(cfg=cfg, weight_norm=weight_norm)
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
     rng = jax.random.PRNGKey(seed)

@@ -40,16 +40,17 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: tuple = (1, 3, 5)
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilation):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, padding=get_padding(self.kernel_size, d),
-                        dilation=d, name=f"convs1_{i}")(xt)
+                        dilation=d, weight_norm=self.weight_norm, name=f"convs1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, padding=get_padding(self.kernel_size, 1),
-                        name=f"convs2_{i}")(xt)
+                        weight_norm=self.weight_norm, name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -60,13 +61,14 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: tuple = (1, 3)
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilation):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(self.channels, self.kernel_size, padding=get_padding(self.kernel_size, d),
-                        dilation=d, name=f"convs_{i}")(xt)
+                        dilation=d, weight_norm=self.weight_norm, name=f"convs_{i}")(xt)
             x = xt + x
         return x
 
@@ -80,26 +82,29 @@ class HiFiGANGenerator(nn.Module):
 
     cfg: HiFiGANConfig
     subpixel_upsample: bool = False
+    weight_norm: bool = False  # train-time reparameterization; fold for serving
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        wn = self.weight_norm
         num_kernels = len(cfg.resblock_kernel_sizes)
         res_cls = ResBlock1 if cfg.resblock == "1" else ResBlock2
 
-        x = Conv1d(cfg.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
+        x = Conv1d(cfg.upsample_initial_channel, 7, padding=3, weight_norm=wn, name="conv_pre")(x)
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, subpixel=self.subpixel_upsample,
-                                name=f"ups_{i}")(x)
+                                weight_norm=wn, name=f"ups_{i}")(x)
             xs = None
             for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
-                block = res_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")
+                block = res_cls(ch, rk, tuple(rd), weight_norm=wn,
+                                name=f"resblocks_{i * num_kernels + j}")
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
         # reference uses the torch default slope (0.01) for this last
         # activation (models.py:193) — reproduced for waveform parity.
         x = nn.leaky_relu(x, 0.01)
-        x = Conv1d(1, 7, padding=3, name="conv_post")(x)
+        x = Conv1d(1, 7, padding=3, weight_norm=wn, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

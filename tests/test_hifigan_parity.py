@@ -134,3 +134,87 @@ def test_hifigan_generator_parity(rng):
     got = np.asarray(ours.apply(params, jnp.asarray(mel.transpose(0, 2, 1))))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_weight_norm_mode_matches_reference_prefold(rng):
+    """weight_norm=True generator loaded with fold=False reproduces the
+    reference's TRAINING-time forward (weight norm active) — and folding the
+    (v, g) params afterwards reproduces the serving kernels exactly."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/Matcha-TTS")
+    try:
+        from matcha.hifigan.env import AttrDict
+        from matcha.hifigan.models import Generator as RefGenerator
+    finally:
+        sys.path.pop(0)
+
+    from emojivoice_tpu.io.torch_ckpt import fold_hifigan_weight_norm
+
+    cfg = HiFiGANConfig()
+    h = AttrDict(
+        dict(
+            resblock=cfg.resblock,
+            upsample_rates=list(cfg.upsample_rates),
+            upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+            upsample_initial_channel=cfg.upsample_initial_channel,
+            resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+            resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+        )
+    )
+    torch.manual_seed(7)
+    ref = RefGenerator(h).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    params_wn = convert_hifigan_state_dict(sd, cfg, fold=False)
+    ours_wn = HiFiGANGenerator(cfg=cfg, weight_norm=True)
+
+    mel = rng.normal(size=(1, 80, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(mel)).numpy()[:, 0, :]
+    got = np.asarray(ours_wn.apply(params_wn, jnp.asarray(mel.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # fold (v, g) → plain kernels == the fold-at-load conversion
+    folded = fold_hifigan_weight_norm(params_wn)
+    params_plain = convert_hifigan_state_dict(sd, cfg, fold=True)
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(folded)[0], key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(params_plain)[0], key=lambda kv: str(kv[0])),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)
+
+
+def test_gan_step_trains_weight_norm_params(rng):
+    """One GAN step in weight_norm mode updates g and v (not folded kernels)."""
+    from emojivoice_tpu.training.vocoder_train import (
+        create_vocoder_state,
+        make_vocoder_train_step,
+    )
+
+    # thin generator but the real ×256 upsample (hop-256 mel in the GAN loss)
+    cfg = HiFiGANConfig(
+        upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), num_mels=80,
+    )
+    state, modules = create_vocoder_state(cfg, segment_frames=16, weight_norm=True)
+    leaves = jax.tree_util.tree_flatten_with_path(state.gen_params)[0]
+    names = {str(path[-1]) for path, _ in leaves}
+    assert any("'v'" in n or n.endswith("v')") for n in map(str, names)) or any(
+        "v" == str(p[-1].key) for p, _ in leaves if hasattr(p[-1], "key")
+    )
+    step = make_vocoder_train_step(cfg, modules)
+    wav = rng.normal(size=(2, 16 * cfg.total_upsample)).astype(np.float32) * 0.1
+    from emojivoice_tpu.ops.mel import mel_spectrogram
+
+    mel = np.asarray(mel_spectrogram(jnp.asarray(wav), 1024, cfg.num_mels,
+                                     cfg.sampling_rate, 256, 1024, 0.0, 8000.0))[:, :16, :]
+    before = jax.device_get(state.gen_params)
+    state, metrics = step(state, {"mel": jnp.asarray(mel), "wav": jnp.asarray(wav)})
+    after = jax.device_get(state.gen_params)
+    assert np.isfinite(float(metrics["g_loss"]))
+    g_before = before["params"]["conv_pre"]["g"]
+    g_after = after["params"]["conv_pre"]["g"]
+    assert not np.allclose(g_before, g_after)
