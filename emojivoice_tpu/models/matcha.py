@@ -192,7 +192,11 @@ class MatchaTTS(nn.Module):
             cross = jnp.einsum("bxc,byc->bxy", mu_x, y)
             mu_sq = -0.5 * jnp.sum(jnp.square(mu_x), axis=-1)  # (B, T_x)
             log_prior = y_sq[:, None, :] + cross + mu_sq[:, :, None] + const
-            attn = jax.lax.stop_gradient(maximum_path(log_prior, attn_mask))
+            # cut gradients BEFORE the kernel (not after): MAS is
+            # non-differentiable by construction (reference wraps it in
+            # no_grad, matcha_tts.py:190) and zero input tangents let jax
+            # skip the JVP of the aliased pallas_call entirely
+            attn = maximum_path(jax.lax.stop_gradient(log_prior), attn_mask)
 
         # duration loss on log-durations (reference: matcha_tts.py:203-204)
         logw_ = jnp.log(1e-8 + jnp.sum(attn, axis=-1))[..., None] * x_mask

@@ -77,15 +77,21 @@ def _backtrace_scan(value: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray) -> j
 
 
 @functools.partial(jax.jit, static_argnames=("backend",))
-def maximum_path(value: jnp.ndarray, mask: jnp.ndarray, backend: str = "jax") -> jnp.ndarray:
+def maximum_path(value: jnp.ndarray, mask: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched MAS: most-likely monotone path through a log-prior.
 
     Args:
       value: (B, T_x, T_y) log-prior (higher = more likely).
       mask:  (B, T_x, T_y) attention mask; lengths are derived from it the
              same way as the reference wrapper (monotonic_align/__init__.py:15-21).
+      backend: "auto" picks the batched-wavefront Pallas kernel on TPU
+             (measured 2.3× the scan at B=16, T_x=256, T_y=768 on v5e —
+             tools/bench_mas.py) and the lax.scan formulation elsewhere;
+             "jax" | "pallas" | "pallas_interpret" | "cpp" force one.
     Returns binary path of the same shape/dtype as `value`.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     if backend == "cpp":
         from emojivoice_tpu.ops.mas_cpp import maximum_path_cpp
 

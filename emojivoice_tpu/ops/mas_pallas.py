@@ -1,19 +1,37 @@
-"""Monotonic Alignment Search as a Pallas TPU kernel.
+"""Monotonic Alignment Search as a Pallas TPU kernel — batched wavefront.
 
-The lax.scan formulation (ops/mas.py) issues one XLA loop step per mel
-frame — thousands of tiny sequential steps with loop overhead.  This kernel
-runs the whole DP *inside* one Pallas program per batch item (grid over
-batch): the cumulative-value matrix lives in VMEM ((T_y, T_x) ≤
-2048×512×4B = 4 MB), the column wavefront is a vectorized VPU update, and
-the backtrace reads rows via one-hot contractions — no per-step dispatch.
+The reference's MAS is a Cython/OpenMP CPU kernel with a device↔host round
+trip per training step (reference: monotonic_align/__init__.py:7-22,
+core.pyx:11-47).  The lax.scan formulation (ops/mas.py) keeps it on device
+but issues one XLA loop iteration per mel frame, each carrying visible
+per-step overhead.
 
-Layout note: the matrix is stored (T_y, T_x) so each DP step touches one
-contiguous row (text positions ride the lanes).
+This kernel runs the whole DP for a BLOCK OF BATCH ITEMS inside one Pallas
+program; two ideas make it fast:
 
-Per-item lengths arrive via scalar prefetch (t_xs, t_ys) so the kernel can
-mask its loops before the body runs.  Falls back to interpret mode off-TPU
-(tests), and `maximum_path(backend=...)` in ops/mas.py selects between
-"jax" | "pallas" | "cpp".
+1. **Batched wavefront** — one `fori_loop` step advances the column DP for
+   all items at once on the VPU ((B_blk, T_x) per step: text positions on
+   the lanes, items on the sublanes), so the sequential-step count is T_y,
+   not B·T_y.
+
+2. **Decision-bit backtrace** — the backtrace needs only the per-cell
+   decision  D[x, y] = (x == y  or  V[x, y−1] < V[x−1, y−1]) and x ≠ 0,
+   not the DP values.  The forward pass emits D rows as it goes, and the
+   backtrace then updates a per-item ONE-HOT position vector with pure
+   vector ops:  move = oh·D;  oh ← (oh − move) + shift_left(move)  — no
+   scalar index, no one-hot reconstruction, no lane reductions.
+
+VMEM budget: ONE buffer.  The kernel is gridless with
+``input_output_aliases`` — the logp block is consumed in place: the forward
+pass overwrites row y with decision bits right after reading it, and the
+backtrace overwrites row y with the binary path after its final read.
+B_blk = 16, T_x = 256, T_y = 768 → 12.6 MB, inside the 16 MB VMEM scoped
+limit (a pipelined grid would double-buffer separate in/out blocks and blow
+it).  Batches beyond B_blk chunk via a host-level python loop (B is static
+under jit).
+
+Layout: host transposes to (T_y, B, T_x) once so each DP step reads one
+contiguous (items-on-sublanes × text-on-lanes) row.
 """
 
 from __future__ import annotations
@@ -27,79 +45,95 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_NEG = -1e9
+BATCH_BLOCK = 16  # one in-place (T_y, 16, T_x) f32 buffer ≈ 12.6 MB at T_x=256, T_y=768
 
 
-def _mas_kernel(t_xs_ref, t_ys_ref, logp_ref, path_ref, cum_ref):
-    """One batch item: logp (T_y, T_x) → binary path (T_y, T_x).
+def _mas_kernel(t_xs_ref, t_ys_ref, logp_ref, out_ref):
+    """One batch block: logp (T_y, B_blk, T_x) → binary path, same shape.
 
-    cum_ref: VMEM scratch (T_y, T_x) for the DP values.
+    logp_ref and out_ref ALIAS the same VMEM buffer (input_output_aliases):
+    forward overwrites each row with decision bits; backtrace overwrites
+    each row with the path.  t_xs_ref/t_ys_ref: (B_blk, 1) int32 lengths.
     """
-    i = pl.program_id(0)
-    t_x = t_xs_ref[i]
-    t_y = t_ys_ref[i]
-    t_y_max, t_x_max = logp_ref.shape
-    # Mosaic vectors must be ≥2D: work in (1, T_x) rows throughout
-    x_idx = jax.lax.broadcasted_iota(jnp.int32, (1, t_x_max), 1)
+    t_y_max, b_blk, t_x_max = logp_ref.shape
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, (b_blk, t_x_max), 1)
+    t_ys = t_ys_ref[...]  # (B_blk, 1)
 
-    # ---- forward wavefront ------------------------------------------------
-    def fwd(y, prev_col):
-        lp = logp_ref[pl.ds(y, 1), :]  # (1, T_x)
-        v_cur = jnp.where(x_idx == y, MAX_NEG, prev_col)
-        shifted = pltpu.roll(prev_col, 1, 1)
+    # ---- forward wavefront: all items advance one column per step --------
+    def fwd(y, prev):
+        lp = logp_ref[y]  # (B_blk, T_x)
+        shifted = pltpu.roll(prev, 1, 1)  # prev[x-1] at lane x
+        # decision bits for the backtrace (reference core.pyx:31-36):
+        # step diagonally iff x == y or V[x, y-1] < V[x-1, y-1]; never at x=0
+        dec = ((x_idx == y) | (prev < shifted)) & (x_idx != 0)
+        v_cur = jnp.where(x_idx == y, MAX_NEG, prev)
         first = jnp.where(y == 0, 0.0, MAX_NEG)
         v_prev = jnp.where(x_idx == 0, first, shifted)
-        new_col = lp + jnp.maximum(v_cur, v_prev)
-        new_col = jnp.where(x_idx > y, MAX_NEG, new_col)
-        cum_ref[pl.ds(y, 1), :] = new_col
-        return new_col
+        new = lp + jnp.maximum(v_cur, v_prev)
+        new = jnp.where(x_idx > y, MAX_NEG, new)
+        out_ref[y] = dec.astype(jnp.float32)  # in place: lp row consumed
+        return new
 
-    init = jnp.full((1, t_x_max), MAX_NEG, jnp.float32)
+    init = jnp.full((b_blk, t_x_max), MAX_NEG, jnp.float32)
     jax.lax.fori_loop(0, t_y_max, fwd, init)
 
-    # ---- backtrace --------------------------------------------------------
-    path_ref[...] = jnp.zeros_like(path_ref)
+    # ---- one-hot backtrace: no scalar state, no reductions ---------------
+    # oh starts at x = t_x-1 per item; rows at/above t_y are written 0 and
+    # leave oh untouched.
+    oh0 = (x_idx == t_xs_ref[...] - 1).astype(jnp.float32)  # (B_blk, T_x)
 
-    def bwd(k, index):
+    def bwd(k, oh):
         y = t_y_max - 1 - k
-        active = y < t_y
-        onehot = (x_idx == index).astype(jnp.float32)  # (1, T_x)
+        active = (y < t_ys).astype(jnp.float32)  # (B_blk, 1)
+        dec_row = out_ref[y]  # decision bits (read BEFORE overwrite)
+        out_ref[y] = oh * active
+        move = oh * dec_row
+        # circular left-shift by 1 (= roll by T_x-1; pltpu.roll wants shift ≥ 0);
+        # wraparound is harmless: dec is forced 0 at x=0, so move[0] == 0
+        oh_next = (oh - move) + pltpu.roll(move, t_x_max - 1, 1)
+        return oh + (oh_next - oh) * active
 
-        @pl.when(active)
-        def _():
-            path_ref[pl.ds(y, 1), :] = onehot
-
-        prev_row = cum_ref[pl.ds(jnp.maximum(y - 1, 0), 1), :]  # (1, T_x)
-        v_same = jnp.sum(prev_row * onehot)
-        v_prev = jnp.sum(prev_row * (x_idx == index - 1).astype(jnp.float32))
-        dec = active & (index != 0) & ((index == y) | (v_same < v_prev))
-        return jnp.where(dec, index - 1, index)
-
-    jax.lax.fori_loop(0, t_y_max, bwd, t_x - 1)
+    jax.lax.fori_loop(0, t_y_max, bwd, oh0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Batched MAS via the Pallas kernel; same contract as ops.mas.maximum_path."""
+def maximum_path_pallas(value: jnp.ndarray, mask: jnp.ndarray, interpret: bool = False):
+    """Batched MAS via the wavefront Pallas kernel.  Same contract as
+    ops.mas.maximum_path: value/mask (B, T_x, T_y) → binary path."""
     dtype = value.dtype
     b, t_x_max, t_y_max = value.shape
-    v = (value.astype(jnp.float32) * mask.astype(jnp.float32)).transpose(0, 2, 1)  # (B, TY, TX)
+    logp = (value.astype(jnp.float32) * mask.astype(jnp.float32))
     t_xs = jnp.sum(mask[:, :, 0], axis=-1).astype(jnp.int32)
     t_ys = jnp.sum(mask[:, 0, :], axis=-1).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((None, t_y_max, t_x_max), lambda i, *_: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((None, t_y_max, t_x_max), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((t_y_max, t_x_max), jnp.float32)],
-    )
-    path = pl.pallas_call(
+    pad_b = (-b) % BATCH_BLOCK
+    if pad_b:
+        logp = jnp.pad(logp, ((0, pad_b), (0, 0), (0, 0)))
+        # zero-length pad items: oh starts at x = -1 (nowhere), never active
+        t_xs = jnp.pad(t_xs, (0, pad_b))
+        t_ys = jnp.pad(t_ys, (0, pad_b))
+    bp = b + pad_b
+    n_blocks = bp // BATCH_BLOCK
+
+    logp_t = jnp.transpose(logp, (2, 0, 1))  # (T_y, B, T_x)
+
+    call = pl.pallas_call(
         _mas_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t_y_max, t_x_max), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_y_max, BATCH_BLOCK, t_x_max), jnp.float32),
+        input_output_aliases={2: 0},  # logp block buffer becomes the path
         interpret=interpret,
-    )(t_xs, t_ys, v)
-    path = path.transpose(0, 2, 1)
+    )
+    # python loop over static batch chunks — each call owns ONE VMEM-resident
+    # buffer; chunks run back-to-back without host sync
+    outs = []
+    for i in range(n_blocks):
+        s = i * BATCH_BLOCK
+        outs.append(call(
+            t_xs[s:s + BATCH_BLOCK][:, None],
+            t_ys[s:s + BATCH_BLOCK][:, None],
+            logp_t[:, s:s + BATCH_BLOCK, :],
+        ))
+    out = outs[0] if n_blocks == 1 else jnp.concatenate(outs, axis=1)
+
+    path = jnp.transpose(out, (1, 2, 0))[:b]  # (B, T_x, T_y)
     return (path * mask.astype(jnp.float32)).astype(dtype)

@@ -27,3 +27,26 @@ def test_pallas_peaked_prior():
     got = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask), interpret=True))
     want = maximum_path_numpy(value * mask, mask)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_multiblock_batch():
+    """B=17 → two 16-item blocks with zero-length padding in the second."""
+    rng = np.random.default_rng(3)
+    t_xs = list(rng.integers(2, 9, size=17))
+    t_ys = list(rng.integers(8, 21, size=17))
+    t_ys = [max(a, b) for a, b in zip(t_ys, t_xs)]
+    value, mask = _make_problem(rng, 17, 8, 20, t_xs, t_ys)
+    got = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask), interpret=True))
+    want = maximum_path_numpy(value * mask, mask)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_auto_backend_dispatch():
+    from emojivoice_tpu.ops.mas import maximum_path
+
+    rng = np.random.default_rng(4)
+    value, mask = _make_problem(rng, 2, 6, 15, [6, 4], [15, 9])
+    # on the CPU test backend, auto == the scan path
+    got = np.asarray(maximum_path(jnp.asarray(value), jnp.asarray(mask)))
+    want = maximum_path_numpy(value * mask, mask)
+    np.testing.assert_array_equal(got, want)

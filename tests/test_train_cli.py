@@ -154,3 +154,16 @@ def test_make_schedule_shapes():
     warm = make_schedule(OptimizerConfig(scheduler="cosine", warmup_steps=10, decay_steps=100))
     assert float(warm(0)) == 0.0
     np.testing.assert_allclose(float(warm(10)), 1e-4, rtol=1e-6)
+
+
+def test_train_to_audio_proof_tiny(tmp_path):
+    """The fine-tune-from-torch-ckpt → N-step train → serve-audio proof loop
+    (emojivoice_tpu.training.proof) at tiny scale; the committed flagship-run
+    evidence lives in docs/artifacts/train_proof/."""
+    from emojivoice_tpu.training.proof import run_proof
+
+    s = run_proof("tiny", str(tmp_path / "proof"), steps=16, batch_size=4,
+                  num_devices=2, out_size=100, utts=8)
+    assert s["loss_drop"] > 0
+    assert s["steps"] == 16
+    assert (tmp_path / "proof" / "proof.wav").exists()
