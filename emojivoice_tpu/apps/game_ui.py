@@ -12,6 +12,7 @@ apps/demos.py drives either without caring which.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -144,10 +145,17 @@ class GameWindow:
 
 def make_ui(window: bool = True, background: Optional[str] = None,
             char_delay: float = TYPEWRITER_DELAY_S):
-    """GameWindow when requested and pygame imports; ConsoleUI otherwise."""
+    """GameWindow when requested and pygame imports; ConsoleUI otherwise.
+
+    Headless guard: with no DISPLAY and no SDL_VIDEODRIVER, SDL's x11 init
+    can SEGFAULT the process (not raise) — fall back without touching it.
+    Set SDL_VIDEODRIVER=dummy to force an off-screen window instead.
+    """
     if window and pygame_available():
+        if not os.environ.get("DISPLAY") and not os.environ.get("SDL_VIDEODRIVER"):
+            return ConsoleUI()
         try:
             return GameWindow(background=background, char_delay=char_delay)
-        except Exception:  # noqa: BLE001 — e.g. no display server
+        except Exception:  # noqa: BLE001 — e.g. display server refused
             return ConsoleUI()
     return ConsoleUI()

@@ -178,7 +178,11 @@ class TrainerConfig:
     max_steps: int = -1
     check_val_every_n_epoch: int = 1
     seed: int = 1234
-    precision: str = "bf16-mixed"  # parameters f32, matmuls bf16 (TPU-native analog of 16-mixed)
+    # "f32" | "bf16-mixed" (the reference trainer's 16-mixed analog: bf16
+    # compute, f32 params/loss/optimizer).  Default f32: measured FASTER at
+    # this model size on v5e (49 vs 54 ms/step at B16·Tx128·Ty512,
+    # tools/bench_train.py — the model is conv/overhead-bound, not MXU-bound)
+    precision: str = "f32"
     ckpt_every_n_epochs: int = 100
     save_top_k: int = 10
     save_last: bool = True

@@ -80,8 +80,12 @@ class CFM(nn.Module):
         b = mu.shape[0]
         if t is None or z is None:
             t_rng, z_rng = jax.random.split(rng)
-            t = jax.random.uniform(t_rng, (b, 1, 1), x1.dtype) if t is None else t
-            z = jax.random.normal(z_rng, x1.shape, x1.dtype) if z is None else z
+            # invariant: noise is always DRAWN in f32 (bf16 sampling changes
+            # the stream), then cast to the compute dtype
+            if t is None:
+                t = jax.random.uniform(t_rng, (b, 1, 1), jnp.float32).astype(x1.dtype)
+            if z is None:
+                z = jax.random.normal(z_rng, x1.shape, jnp.float32).astype(x1.dtype)
 
         sigma_min = self.cfg.sigma_min
         y = (1 - (1 - sigma_min) * t) * z + t * x1
@@ -93,10 +97,13 @@ class CFM(nn.Module):
         # masked but the target u is not, so padded frames add a
         # parameter-independent noise term to the loss value (zero gradient:
         # pred ≡ 0 there).  Kept for loss-curve comparability.
-        sq = jnp.square(pred - u)
+        # loss math in f32 regardless of compute dtype (bf16 sums over B·T·C
+        # elements lose precision); a no-op cast under f32 training
+        sq = jnp.square(pred.astype(jnp.float32) - u.astype(jnp.float32))
+        mask32 = mask.astype(jnp.float32)
         if row_mask is None:
-            loss = jnp.sum(sq) / (jnp.sum(mask) * u.shape[-1])
+            loss = jnp.sum(sq) / (jnp.sum(mask32) * u.shape[-1])
         else:
-            w = row_mask[:, None, None].astype(sq.dtype)
-            loss = jnp.sum(sq * w) / (jnp.sum(mask * w) * u.shape[-1])
+            w = row_mask.astype(jnp.float32)[:, None, None]
+            loss = jnp.sum(sq * w) / (jnp.sum(mask32 * w) * u.shape[-1])
         return loss, y

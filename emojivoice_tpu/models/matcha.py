@@ -198,9 +198,11 @@ class MatchaTTS(nn.Module):
             # skip the JVP of the aliased pallas_call entirely
             attn = maximum_path(jax.lax.stop_gradient(log_prior), attn_mask)
 
-        # duration loss on log-durations (reference: matcha_tts.py:203-204)
-        logw_ = jnp.log(1e-8 + jnp.sum(attn, axis=-1))[..., None] * x_mask
-        dur_se = jnp.square(logw - logw_)
+        # duration loss on log-durations (reference: matcha_tts.py:203-204).
+        # Loss math in f32: bf16 integer duration counts round above 256 and
+        # bf16 sums over B·T lose precision (no-op casts under f32 training).
+        logw_ = jnp.log(1e-8 + jnp.sum(attn.astype(jnp.float32), axis=-1))[..., None] * x_mask.astype(jnp.float32)
+        dur_se = jnp.square(logw.astype(jnp.float32) - logw_)
         if row_mask is None:
             dur_loss = jnp.sum(dur_se) / jnp.sum(x_lengths)
         else:
@@ -211,19 +213,24 @@ class MatchaTTS(nn.Module):
             rng, crop_rng = jax.random.split(rng)
             y, attn, y_mask = self._segment_crop(crop_rng, y, attn, y_lengths, out_size)
 
-        mu_y = jnp.einsum("bxy,bxc->byc", attn, mu_x)
+        # mask/path math above is f32; the decoder computes in the batch's
+        # dtype (bf16 under mixed precision) — binary attn casts exactly
+        dtype = y.dtype
+        mu_y = jnp.einsum("bxy,bxc->byc", attn.astype(dtype), mu_x.astype(dtype))
 
         diff_loss, _ = self.decoder.compute_loss(
-            y, y_mask, mu_y, spk_e, rng=rng, deterministic=deterministic, row_mask=row_mask
+            y, y_mask.astype(dtype), mu_y, spk_e, rng=rng, deterministic=deterministic,
+            row_mask=row_mask,
         )
 
         if cfg.prior_loss:
-            prior_se = 0.5 * (jnp.square(y - mu_y) + math.log(2 * math.pi)) * y_mask
+            y32, mu_y32, y_mask32 = (a.astype(jnp.float32) for a in (y, mu_y, y_mask))
+            prior_se = 0.5 * (jnp.square(y32 - mu_y32) + math.log(2 * math.pi)) * y_mask32
             if row_mask is None:
-                prior_loss = jnp.sum(prior_se) / (jnp.sum(y_mask) * cfg.n_feats)
+                prior_loss = jnp.sum(prior_se) / (jnp.sum(y_mask32) * cfg.n_feats)
             else:
-                rw3 = row_mask.astype(prior_se.dtype)[:, None, None]
-                prior_loss = jnp.sum(prior_se * rw3) / (jnp.sum(y_mask * rw3) * cfg.n_feats)
+                rw3 = row_mask.astype(jnp.float32)[:, None, None]
+                prior_loss = jnp.sum(prior_se * rw3) / (jnp.sum(y_mask32 * rw3) * cfg.n_feats)
         else:
             prior_loss = jnp.asarray(0.0)
 
@@ -251,7 +258,8 @@ class MatchaTTS(nn.Module):
         y_cut, attn_cut = jax.vmap(cut)(y, attn, offsets)
         y_cut_lengths = jnp.minimum(y_lengths, out_size)
         y_cut_mask = sequence_mask(y_cut_lengths, out_size).astype(jnp.float32)[..., None]
-        # zero out positions past the cut length (short items keep padding)
-        y_cut = y_cut * y_cut_mask
-        attn_cut = attn_cut * y_cut_mask.transpose(0, 2, 1)
+        # zero out positions past the cut length (short items keep padding);
+        # multiply in each operand's own dtype (y may be bf16, attn is f32)
+        y_cut = y_cut * y_cut_mask.astype(y_cut.dtype)
+        attn_cut = attn_cut * y_cut_mask.transpose(0, 2, 1).astype(attn_cut.dtype)
         return y_cut, attn_cut, y_cut_mask

@@ -82,6 +82,22 @@ def create_train_state(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, seed: i
     return TrainState(params=params, opt_state=tx.init(params["params"]), step=jnp.asarray(0))
 
 
+def _dtype_for(precision: str):
+    if precision in ("bf16-mixed", "bf16", "16-mixed"):
+        return jnp.bfloat16
+    if precision in ("f32", "fp32", "32", "32-true", None):
+        return jnp.float32
+    raise ValueError(f"Unknown precision: {precision!r}")
+
+
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+        tree,
+    )
+
+
 def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):
     dur, prior, diff, _ = model.apply(
         params,
@@ -100,24 +116,37 @@ def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):
     return dur, prior, diff
 
 
-def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None, axis: str = "data"):
+def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None, axis: str = "data",
+                    precision: str = "f32"):
     """Build the jitted data-parallel train step:
     (state, batch, rng) → (state, metrics).
 
     batch: {"x": (B,Tx) i32, "x_lengths": (B,), "y": (B,Ty,n_feats),
             "y_lengths": (B,), "spks": (B,) [multi-speaker],
             "durations": (B,Tx) [optional]}.
+
+    precision "bf16-mixed" (the reference trainer's `precision: 16-mixed`,
+    configs/trainer/default.yaml) runs the forward/backward compute in
+    bfloat16 while parameters, loss reductions, gradients and optimizer
+    state stay f32 — TPU bf16 needs no loss scaling.
     """
     model = MatchaTTS(cfg=model_cfg)
     tx = make_optimizer(opt_cfg)
     sched = make_schedule(opt_cfg)
     out_size = model_cfg.out_size
+    compute_dtype = _dtype_for(precision)
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            dur, prior, diff = _losses(model, params, batch, rng, out_size, deterministic=False)
+            if compute_dtype != jnp.float32:
+                params = _cast_floats(params, compute_dtype)
+                batch_c = _cast_floats(batch, compute_dtype)
+            else:
+                batch_c = batch
+            dur, prior, diff = _losses(model, params, batch_c, rng, out_size, deterministic=False)
+            # loss terms are f32 by construction (models cast reductions up)
             total = dur + prior + diff
             return total, (dur, prior, diff)
 
@@ -150,11 +179,15 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
     )
 
 
-def make_eval_step(model_cfg: ModelConfig, mesh=None, axis: str = "data"):
+def make_eval_step(model_cfg: ModelConfig, mesh=None, axis: str = "data", precision: str = "f32"):
     """Validation losses (no dropout, fixed noise key per step)."""
     model = MatchaTTS(cfg=model_cfg)
+    compute_dtype = _dtype_for(precision)
 
     def eval_fn(params, batch, rng):
+        if compute_dtype != jnp.float32:
+            params = _cast_floats(params, compute_dtype)
+            batch = _cast_floats(batch, compute_dtype)
         dur, prior, diff = _losses(model, params, batch, rng, None, deterministic=True)
         return {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff, "loss": dur + prior + diff}
 

@@ -98,6 +98,7 @@ def _fake_pygame():
 def test_game_window_typewriter_with_fake_pygame(monkeypatch):
     pg, calls = _fake_pygame()
     monkeypatch.setitem(sys.modules, "pygame", pg)
+    monkeypatch.setenv("SDL_VIDEODRIVER", "dummy")  # pass the headless guard
     assert game_ui.pygame_available()
 
     ui = game_ui.make_ui(window=True, char_delay=0.0)

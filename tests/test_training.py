@@ -150,3 +150,27 @@ def test_row_mask_all_ones_matches_no_row_mask():
     _, m_masked = step(create_train_state(cfg, opt, seed=7), with_mask, rng)
     for k in ("loss", "dur_loss", "prior_loss", "diff_loss"):
         np.testing.assert_allclose(float(m_plain[k]), float(m_masked[k]), rtol=1e-6)
+
+
+def test_bf16_mixed_precision_step():
+    """bf16-mixed (reference trainer 16-mixed analog): compute in bf16,
+    params/grads/losses f32.  Loss tracks the f32 step within bf16 noise and
+    updated params remain f32."""
+    cfg = tiny_cfg()
+    opt = OptimizerConfig()
+    batch = make_batch(b=8)
+    rng = jax.random.PRNGKey(2)
+
+    s32, m32 = make_train_step(cfg, opt)(create_train_state(cfg, opt, seed=7), batch, rng)
+    s16, m16 = make_train_step(cfg, opt, precision="bf16-mixed")(
+        create_train_state(cfg, opt, seed=7), batch, rng)
+
+    assert all(np.isfinite(float(m16[k])) for k in m16)
+    # same noise stream (drawn in f32 in both modes) → losses close
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]), rtol=0.05)
+    for leaf in jax.tree.leaves(s16.params):
+        assert leaf.dtype == jnp.float32
+    # updates differ (bf16 compute) but stay near the f32 trajectory
+    a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s16.params)])
+    b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(s32.params)])
+    assert float(np.abs(a - b).max()) < 1e-3
