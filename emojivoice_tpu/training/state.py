@@ -10,6 +10,11 @@ metric every step (:218-219).
 Data parallelism: the returned train_step is jit-compiled with the batch
 sharded over the mesh's data axis and params replicated — XLA inserts the
 gradient all-reduce over ICI (the DDP/NCCL equivalent, SURVEY.md §2.8).
+
+Tensor parallelism: pass a 2-D ``(data, model)`` mesh (parallel/tp.py
+``make_mesh_2d``) and params + optimizer state are sharded per TP_RULES
+(Megatron column→row pairs); GSPMD inserts the intra-layer collectives.
+The reference has no TP at all — this is TPU-native headroom.
 """
 
 from __future__ import annotations
@@ -171,12 +176,29 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
 
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh, axis)
+    state_sh = train_state_shardings(model_cfg, opt_cfg, mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
+
+
+def train_state_shardings(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh):
+    """Sharding pytree for the full TrainState on `mesh`.
+
+    1-D (data-only) mesh → everything replicated (round-1 DDP-analog
+    behavior).  2-D (data, model) mesh → params and the mirrored adam mu/nu
+    subtrees shard per parallel/tp.py TP_RULES; scalars stay replicated.
+    Computed from ``jax.eval_shape`` so no real buffers are allocated.
+    """
+    from emojivoice_tpu.parallel.tp import MODEL_AXIS, tp_shardings
+
+    if mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return replicated_sharding(mesh)
+    shapes = jax.eval_shape(lambda: create_train_state(model_cfg, opt_cfg))
+    return tp_shardings(shapes, mesh)
 
 
 def make_eval_step(model_cfg: ModelConfig, mesh=None, axis: str = "data", precision: str = "f32"):
@@ -195,4 +217,12 @@ def make_eval_step(model_cfg: ModelConfig, mesh=None, axis: str = "data", precis
         return jax.jit(eval_fn)
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh, axis)
-    return jax.jit(eval_fn, in_shardings=(repl, data, repl), out_shardings=repl)
+    from emojivoice_tpu.parallel.tp import MODEL_AXIS, tp_shardings
+
+    if mesh.shape.get(MODEL_AXIS, 1) > 1:
+        params_sh = tp_shardings(
+            jax.eval_shape(lambda: create_train_state(model_cfg, OptimizerConfig()).params), mesh
+        )
+    else:
+        params_sh = repl
+    return jax.jit(eval_fn, in_shardings=(params_sh, data, repl), out_shardings=repl)

@@ -61,6 +61,8 @@ def test_dryrun_multichip_driver_replica():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "step ok" in proc.stdout
     assert "devices=8" in proc.stdout
+    # n=8 → 2-D (4 data × 2 model) mesh: DP + tensor parallelism exercised
+    assert "'data': 4" in proc.stdout and "'model': 2" in proc.stdout
 
 
 @pytest.mark.slow
