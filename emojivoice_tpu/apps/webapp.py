@@ -76,7 +76,7 @@ def _render_result(res) -> str:
 </div>"""
 
 
-def make_handler(pipeline, defaults):
+def make_handler(pipeline, defaults, engine=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -117,7 +117,12 @@ def make_handler(pipeline, defaults):
                 length_scale=float(form.get("length_scale", defaults["length_scale"])),
             )
             spk = int(form.get("spk", defaults["spk"]))
-            res = pipeline.synthesise([text], spks=[spk], **params)[0]
+            if engine is not None:
+                # dynamic batching: concurrent HTTP threads coalesce into one
+                # padded-batch TPU dispatch (inference/serving.py)
+                res = engine.synthesise(text, spk=spk, **params)
+            else:
+                res = pipeline.synthesise([text], spks=[spk], **params)[0]
             if self.path == "/api/synthesise":
                 self._send(json.dumps({
                     "cleaned_text": res.cleaned_text,
@@ -134,11 +139,19 @@ def make_handler(pipeline, defaults):
     return Handler
 
 
-def serve(pipeline, host: str = "127.0.0.1", port: int = 7860, defaults=None):
+def serve(pipeline, host: str = "127.0.0.1", port: int = 7860, defaults=None,
+          batching: bool = False, max_batch: int = 8, max_wait_ms: float = 10.0):
     defaults = defaults or {"text": "Hey there! I am an emoji voice. 😎",
                             "steps": 10, "temperature": 0.667, "length_scale": 1.0, "spk": 79}
-    server = ThreadingHTTPServer((host, port), make_handler(pipeline, defaults))
-    print(f"[webapp] serving on http://{host}:{server.server_address[1]}")
+    engine = None
+    if batching:
+        from emojivoice_tpu.inference.serving import BatchingEngine
+
+        engine = BatchingEngine(pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    server = ThreadingHTTPServer((host, port), make_handler(pipeline, defaults, engine))
+    server.engine = engine  # callers close it after shutdown()
+    print(f"[webapp] serving on http://{host}:{server.server_address[1]}"
+          + (f" (batching ≤{max_batch}/{max_wait_ms}ms)" if batching else ""))
     return server
 
 
@@ -150,6 +163,10 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--language", default="en")
+    p.add_argument("--batching", action="store_true",
+                   help="coalesce concurrent requests into padded-batch TPU dispatches")
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=10.0)
     args = p.parse_args(argv)
 
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
@@ -161,8 +178,13 @@ def main(argv=None) -> int:
     else:
         pipe = SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder,
                                                         cleaners=cleaners)
-    server = serve(pipe, args.host, args.port)
-    server.serve_forever()
+    server = serve(pipe, args.host, args.port, batching=args.batching,
+                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    try:
+        server.serve_forever()
+    finally:
+        if server.engine is not None:
+            server.engine.close()
     return 0
 
 

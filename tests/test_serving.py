@@ -1,0 +1,130 @@
+"""Dynamic-batching serving engine (inference/serving.py)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from emojivoice_tpu.inference.serving import BatchingEngine
+
+from tests.test_pipeline import tiny_root
+from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",), mel_buckets=(64, 128), text_buckets=(64,)
+    )
+
+
+def test_concurrent_requests_merge_into_one_batch(pipe):
+    with BatchingEngine(pipe, max_batch=4, max_wait_ms=2000, batch_buckets=(1, 2, 4)) as eng:
+        futs = [eng.submit(f"hello number {i}", spk=i, n_timesteps=2) for i in range(4)]
+        results = [f.result(timeout=300) for f in futs]
+        for r in results:
+            assert r.mel_length > 0 and np.isfinite(r.wav).all()
+        s = eng.stats()
+    assert s["batches"] == 1, s
+    assert s["batched_rows"] == 4
+    assert s["batch_hist"] == {4: 1}
+    assert s["pad_rows"] == 0
+    # different speakers in the merged batch produce different audio
+    n = min(results[0].wav.size, results[1].wav.size)
+    assert not np.allclose(results[0].wav[:n], results[1].wav[:n])
+
+
+def test_batch_padded_to_bucket(pipe):
+    with BatchingEngine(pipe, max_batch=4, max_wait_ms=1500, batch_buckets=(1, 2, 4)) as eng:
+        futs = [eng.submit("pad me", n_timesteps=2) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=300)
+        s = eng.stats()
+    assert s["batch_hist"] == {4: 1}  # 3 rows → bucket 4
+    assert s["pad_rows"] == 1
+
+
+def test_mismatched_program_keys_split_batches(pipe):
+    """Requests with different ODE-step counts cannot share a compiled
+    program; the engine splits them into separate dispatches."""
+    with BatchingEngine(pipe, max_batch=2, max_wait_ms=800, batch_buckets=(1, 2)) as eng:
+        fa = eng.submit("first", n_timesteps=2)
+        fb = eng.submit("second", n_timesteps=3)
+        fc = eng.submit("third", n_timesteps=2)
+        for f in (fa, fb, fc):
+            assert f.result(timeout=300).mel_length > 0
+        s = eng.stats()
+    assert s["batches"] == 2
+    assert s["batched_rows"] == 3
+
+
+def test_error_propagates_to_all_waiters(pipe):
+    with BatchingEngine(pipe, max_batch=2, max_wait_ms=500, batch_buckets=(1, 2)) as eng:
+        bad = [eng.submit("boom", language="klingon", n_timesteps=2) for _ in range(2)]
+        for f in bad:
+            with pytest.raises(KeyError):
+                f.result(timeout=300)
+        # the engine survives and serves the next request
+        ok = eng.submit("still alive", n_timesteps=2).result(timeout=300)
+        assert ok.mel_length > 0
+        assert eng.stats()["errors"] == 2
+
+
+def test_close_rejects_new_and_drains(pipe):
+    eng = BatchingEngine(pipe, max_batch=1, max_wait_ms=1, batch_buckets=(1,))
+    fut = eng.submit("last words", n_timesteps=2)
+    eng.close()
+    assert fut.result(timeout=300).mel_length > 0
+    with pytest.raises(RuntimeError):
+        eng.submit("too late")
+    eng.close()  # idempotent
+
+
+def test_blocking_wrapper(pipe):
+    with BatchingEngine(pipe, max_batch=1, max_wait_ms=1, batch_buckets=(1,)) as eng:
+        res = eng.synthesise("one shot", n_timesteps=2)
+    assert res.mel_length > 0
+
+
+def test_webapp_with_batching(pipe):
+    """Concurrent HTTP requests coalesce into one padded-batch dispatch."""
+    import json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from emojivoice_tpu.apps.webapp import serve
+
+    server = serve(pipe, port=0, batching=True, max_batch=4, max_wait_ms=1500)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/synthesise",
+            data=json.dumps({"text": f"request {i}", "steps": 2, "spk": i}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(post, range(4)))
+        assert all(o["num_samples"] > 0 for o in outs)
+        s = server.engine.stats()
+        assert s["requests"] == 4
+        assert s["batches"] <= 2  # coalesced (1 expected; 2 tolerated for thread-start skew)
+    finally:
+        server.shutdown()
+        server.engine.close()
+
+
+def test_wait_window_respected(pipe):
+    """A lone request dispatches after ~max_wait_ms, not after max_batch."""
+    with BatchingEngine(pipe, max_batch=8, max_wait_ms=50, batch_buckets=(1, 2, 4, 8)) as eng:
+        t0 = time.monotonic()
+        res = eng.submit("alone", n_timesteps=2).result(timeout=300)
+        assert res.mel_length > 0
+        s = eng.stats()
+    assert s["batch_hist"] == {1: 1}
