@@ -185,6 +185,23 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
     )
 
 
+def abstract_train_state(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None):
+    """ShapeDtypeStruct TrainState template (no buffers allocated).
+
+    With a mesh, every leaf carries its NamedSharding — handing this to
+    orbax's StandardRestore makes the checkpoint load land each shard on
+    its device directly (no full-size host copy, no post-hoc device_put),
+    which is how a TP-sharded training run resumes.
+    """
+    shapes = jax.eval_shape(lambda: create_train_state(model_cfg, opt_cfg))
+    if mesh is None:
+        return shapes
+    sh = train_state_shardings(model_cfg, opt_cfg, mesh)
+    if isinstance(sh, jax.sharding.Sharding):  # 1-D mesh → one replicated sharding
+        return jax.tree.map(lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=sh), shapes)
+    return jax.tree.map(lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s), shapes, sh)
+
+
 def train_state_shardings(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh):
     """Sharding pytree for the full TrainState on `mesh`.
 

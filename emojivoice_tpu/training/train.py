@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--from_torch_ckpt", default=None, help="fine-tune from a reference .ckpt")
     p.add_argument("--resume", action="store_true", help="resume from latest orbax ckpt in out_dir")
     p.add_argument("--num_devices", type=int, default=0, help="0 = all visible")
+    p.add_argument("--tp", type=int, default=1,
+                   help="model-axis degree of a 2-D (data, model) mesh; params + adam "
+                        "state shard per parallel/tp.py rules (1 = pure data parallel)")
     p.add_argument("--ckpt_every_steps", type=int, default=1000)
     p.add_argument("--val_every_steps", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
@@ -128,7 +131,15 @@ def _run(args) -> int:
     )
 
     n_dev = args.num_devices or len(jax.devices())
-    mesh = make_mesh(n_dev)
+    if args.tp > 1:
+        if n_dev % args.tp:
+            raise SystemExit(f"--tp {args.tp} must divide the device count {n_dev}")
+        from emojivoice_tpu.parallel.tp import make_mesh_2d
+
+        mesh = make_mesh_2d(n_dev // args.tp, args.tp)
+    else:
+        mesh = make_mesh(n_dev)
+    n_data = n_dev // args.tp  # rows shard over the data axis only
     print(f"[train] devices={n_dev} mesh={mesh} preset={args.preset}", flush=True)
 
     params = None
@@ -221,7 +232,7 @@ def _run(args) -> int:
                 # shards — no data dropped (the reference's DDP drop_last
                 # analog would discard a whole tail batch per epoch, real
                 # data for the 2-min-per-emoji fine-tune sets, /README.md:150)
-                batch = pad_batch_to_multiple(batch, n_dev)
+                batch = pad_batch_to_multiple(batch, n_data)
                 batch = shard_batch(mesh, batch)
                 state, m = train_step(state, batch, rng)
                 step_idx = int(state.step)
@@ -232,7 +243,7 @@ def _run(args) -> int:
                 if args.val_every_steps > 0 and step_idx % args.val_every_steps == 0:
                     vms = []
                     for vb in val_batcher:
-                        vb = pad_batch_to_multiple(vb, n_dev)
+                        vb = pad_batch_to_multiple(vb, n_data)
                         vms.append({k: float(v) for k, v in
                                     eval_step(state.params, shard_batch(mesh, vb),
                                               jax.random.PRNGKey(0)).items()})
@@ -250,9 +261,13 @@ def _run(args) -> int:
                     done = True
                     break
 
-        mgr.save(step_idx, jax.device_get(
-            {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
-            cfg=dataclasses.replace(root, model=model_cfg), force=True)
+        # final save (save_last analog) — skip if the in-loop save already
+        # wrote this exact step (orbax raises StepAlreadyExistsError; force=
+        # only bypasses save_interval_steps, not existing steps)
+        if mgr.latest_step() != step_idx:
+            mgr.save(step_idx, jax.device_get(
+                {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
+                cfg=dataclasses.replace(root, model=model_cfg), force=True)
     finally:
         # always close loggers/checkpointer, success or failure (the
         # reference's task_wrapper "close wandb" guarantee)

@@ -41,7 +41,10 @@ def test_train_cli_end_to_end(dataset):
         "--valid_filelist", str(val),
         "--out_dir", str(out),
         "--batch_size", "2",
-        "--max_steps", "3",
+        # max_steps a multiple of ckpt_every_steps: the run ends on a step the
+        # periodic save already wrote — the final save_last must skip it
+        # (orbax StepAlreadyExistsError regression)
+        "--max_steps", "4",
         "--val_every_steps", "2",
         "--ckpt_every_steps", "2",
         "--log_every", "1",
