@@ -9,6 +9,12 @@ test-fast:
 bench:
 	python bench.py
 
+bench-serving:
+	python tools/bench_serving.py
+
+bench-breakdown:
+	python tools/bench_breakdown.py
+
 mas-lib:
 	python -c "from emojivoice_tpu.ops.mas_cpp import get_library; get_library(); print('libmas built')"
 

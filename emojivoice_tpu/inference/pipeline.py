@@ -37,6 +37,7 @@ from emojivoice_tpu.models import MatchaTTS
 from emojivoice_tpu.utils.buckets import default_mel_buckets, default_text_buckets, pick_bucket
 from emojivoice_tpu.utils.masks import intersperse
 from emojivoice_tpu.utils.masks import fix_len_compatibility
+from emojivoice_tpu.utils.prng import host_prng_key
 from emojivoice_tpu.vocoder import Denoiser, HiFiGANGenerator
 
 HOP_LENGTH = 256
@@ -271,7 +272,9 @@ class SynthesisPipeline:
         x = np.zeros((len(texts), t_bucket), np.int32)
         for i, ids in enumerate(seqs):
             x[i, : len(ids)] = ids
-        return jnp.asarray(x), jnp.asarray(np.asarray(lengths, np.int32)), cleaned, t_bucket
+        # numpy, not jnp: eager device_put is a synchronous tunnel round trip
+        # per array on remote TPU; as numpy the transfer rides the dispatch
+        return x, np.asarray(lengths, np.int32), cleaned, t_bucket
 
     def synthesise(
         self,
@@ -300,17 +303,19 @@ class SynthesisPipeline:
             raw = np.asarray(spks if spks is not None else [0] * b, np.int32)
             # out-of-range ids would hit jnp.take's NaN fill inside Embed;
             # clamp like a robust lookup (the reference would hard-crash)
-            spk_arr = jnp.asarray(np.clip(raw, 0, self.model_cfg.n_spks - 1))
-        rng = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None else seed)
-        ls = jnp.float32(length_scale)
-        temp = jnp.float32(temperature)
+            spk_arr = np.clip(raw, 0, self.model_cfg.n_spks - 1)
+        # all per-call inputs stay numpy until the jitted call: each eager
+        # jnp conversion / PRNGKey is its own synchronous put over the tunnel
+        rng = host_prng_key(np.random.randint(0, 2**31) if seed is None else seed)
+        ls = np.float32(length_scale)
+        temp = np.float32(temperature)
         denoise = self.denoiser is not None and denoiser_strength > 0
 
         if fused:
             m_bucket = fused_mel_bucket or self.mel_buckets[-1]
             fn = self._get_fused(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel, pcm16)
             out = fn(self.params, self.vocoder_params, x, x_lengths, spk_arr, ls, temp, rng,
-                     jnp.float32(denoiser_strength))
+                     np.float32(denoiser_strength))
         else:
             stage_a = self._get_stage_a(t_bucket, b)
             mu_x, w_ceil, y_lengths, x_mask, spk_e = stage_a(self.params, x, x_lengths, spk_arr, ls)
@@ -318,7 +323,7 @@ class SynthesisPipeline:
             m_bucket = pick_bucket(fix_len_compatibility(y_len_max), self.mel_buckets)
             stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel, vocode, pcm16)
             out = stage_b(self.params, self.vocoder_params, mu_x, w_ceil, y_lengths, x_mask, spk_e,
-                          temp, rng, jnp.float32(denoiser_strength))
+                          temp, rng, np.float32(denoiser_strength))
 
         out = jax.device_get(out)  # blocks until the program finishes
         t_done = dt.datetime.now()

@@ -58,7 +58,6 @@ TP_RULES: Sequence[tuple[str, int]] = (
     (r"tblock_\d+/ff/proj_out/kernel", -2),
     # --- time-embedding MLP → per-resnet conditioning projections ---
     (r"time_mlp/linear_2/(kernel|bias)", -1),
-    (r"_resnet/mlp/kernel", -2),
     (r"resnet/mlp/kernel", -2),
     # --- HiFi-GAN MRF residual stacks ---
     (r"resblocks_\d+/convs1_\d+/(kernel|bias)", -1),

@@ -68,3 +68,20 @@ def test_normalize_roundtrip(rng):
     y = normalize(x, -5.5, 2.1)
     z = denormalize(y, -5.5, 2.1)
     np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-5)
+
+
+def test_host_prng_key_matches_jax():
+    """host_prng_key avoids the eager device put of jax.random.PRNGKey but
+    must be bit-identical — same key, same noise stream, same audio."""
+    import jax
+
+    from emojivoice_tpu.utils.prng import host_prng_key
+
+    for s in (0, 1, 42, 1234, 2**31 - 1, 2**33 + 5, -1):
+        a = np.asarray(jax.random.PRNGKey(s))
+        b = host_prng_key(s)
+        assert b.dtype == np.uint32
+        np.testing.assert_array_equal(a, b, err_msg=f"seed {s}")
+    x = np.asarray(jax.random.normal(host_prng_key(7), (4,)))
+    y = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (4,)))
+    np.testing.assert_array_equal(x, y)

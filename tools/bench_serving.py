@@ -1,0 +1,77 @@
+"""Sustained serving throughput through the BatchingEngine (real TPU).
+
+Four client threads push utterances at the engine; it coalesces them into
+padded batch-8 dispatches (two-stage pipeline programs). Reports sustained
+utterances/sec and audio-seconds generated per wall-second (= 1/RTF at the
+system level, not per-stream).
+
+Run after warming the compilation cache (bench.py); one-time compiles for
+the batch-8 programs go through the tunnel otherwise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import numpy as np
+
+    from emojivoice_tpu.config import enable_compilation_cache
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+    from emojivoice_tpu.inference.serving import BatchingEngine
+
+    enable_compilation_cache()
+    texts = [
+        "The quick brown fox jumped over the lazy dog tonight.",
+        "Everyone at the party cheered loudly for the brave robot.",
+        "A long time ago, in a kitchen far away, soup was made.",
+        "Please remember to water the plants before you leave.",
+    ]
+    pipe = SynthesisPipeline.from_random(cleaners=("basic_cleaners",))
+    print(f"[serving] backend={jax.default_backend()}", file=sys.stderr)
+
+    n_requests = 32
+    with BatchingEngine(pipe, max_batch=8, max_wait_ms=15, batch_buckets=(1, 8)) as eng:
+        # warm/compile the batch-8 programs once
+        t0 = dt.datetime.now()
+        futs = [eng.submit(texts[i % 4], spk=70 + i % 8, n_timesteps=10) for i in range(8)]
+        warm = [f.result() for f in futs]
+        print(f"[serving] warmup (compile) {(dt.datetime.now()-t0).total_seconds():.1f}s",
+              file=sys.stderr)
+
+        t0 = dt.datetime.now()
+
+        def client(k):
+            # a realistic open-loop client: submit a burst, then collect
+            futs = [eng.submit(texts[(k + i) % 4], spk=70 + (k * 3 + i) % 8, n_timesteps=10)
+                    for i in range(n_requests // 4)]
+            return [f.result() for f in futs]
+
+        with ThreadPoolExecutor(4) as ex:
+            all_out = [r for outs in ex.map(client, range(4)) for r in outs]
+        wall = (dt.datetime.now() - t0).total_seconds()
+        stats = eng.stats()
+
+    audio_s = float(sum(len(r.wav) / r.sample_rate for r in all_out))
+    print(json.dumps({
+        "metric": "serving_throughput",
+        "utterances_per_s": round(n_requests / wall, 2),
+        "audio_s_per_wall_s": round(audio_s / wall, 1),
+        "wall_s": round(wall, 2),
+        "mean_batch": round(stats["mean_batch"], 2),
+        "batches": stats["batches"],
+        "mean_wait_ms": round(stats["mean_wait_ms"], 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
