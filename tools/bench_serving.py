@@ -47,17 +47,20 @@ def main() -> int:
         print(f"[serving] warmup (compile) {(dt.datetime.now()-t0).total_seconds():.1f}s",
               file=sys.stderr)
 
-        t0 = dt.datetime.now()
-
         def client(k):
             # a realistic open-loop client: submit a burst, then collect
             futs = [eng.submit(texts[(k + i) % 4], spk=70 + (k * 3 + i) % 8, n_timesteps=10)
                     for i in range(n_requests // 4)]
             return [f.result() for f in futs]
 
-        with ThreadPoolExecutor(4) as ex:
-            all_out = [r for outs in ex.map(client, range(4)) for r in outs]
-        wall = (dt.datetime.now() - t0).total_seconds()
+        def round_():
+            t0 = dt.datetime.now()
+            with ThreadPoolExecutor(4) as ex:
+                outs = [r for rs in ex.map(client, range(4)) for r in rs]
+            return outs, (dt.datetime.now() - t0).total_seconds()
+
+        round_()  # settle: any residual bucket-combination compiles land here
+        all_out, wall = round_()  # steady state
         stats = eng.stats()
 
     audio_s = float(sum(len(r.wav) / r.sample_rate for r in all_out))
