@@ -73,16 +73,16 @@ class StreamingVocoder:
             if c == 0:
                 window, fn = mel[: ck + ov], self._first if n_chunks > 1 else None
                 if n_chunks == 1:
-                    wav = np.asarray(
-                        jax.jit(self.vocoder.apply)(self.params, jnp.asarray(mel[None]))
-                    )[0]
+                    # numpy input: the transfer rides the dispatch (one
+                    # tunnel round trip instead of an eager put + call)
+                    wav = np.asarray(jax.jit(self.vocoder.apply)(self.params, mel[None]))[0]
                     yield wav[:target]
                     return
             elif c == n_chunks - 1:
                 window, fn = mel[c * ck - ov :], self._last
             else:
                 window, fn = mel[c * ck - ov : c * ck + ck + ov], self._middle
-            wav = np.asarray(fn(self.params, jnp.asarray(window[None])))[0]
+            wav = np.asarray(fn(self.params, np.ascontiguousarray(window[None])))[0]
             remaining = target - emitted
             if remaining <= 0:
                 break

@@ -126,7 +126,7 @@ def _resblock_pallas(x, rb_weights, k: int, dils, t_tile: int, interpret: bool):
     out = pl.pallas_call(
         kernel,
         grid=(b, nt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec((None, t_tile, c), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
