@@ -137,11 +137,16 @@ def run_game(pipeline, turns: int = 0, voice: str = "male", steps: int = 10,
                     break  # dead input source — don't loop forever
                 continue
             empty_streak = 0
-            response, spk, spoken = app.turn(user_text)
+            # reference sequencing (main.py:324-368): type the reply first,
+            # then play the audio with the text still on screen; the bar
+            # clears only after playback, before the next recording
+            response, spk, spoken = app.respond(user_text)
             ui.typewriter(response)
-            print(f"robot [{spk}]: {response}")
-            ui.clear_text()
+            if not getattr(ui, "echoes_text", False):
+                print(f"robot [{spk}]: {response}")
+            app.speak(spoken, spk)
             count += 1
+            ui.clear_text()
     finally:
         ui.close()
     return count

@@ -91,13 +91,20 @@ class FeelMe:
         self.sink.play(res.wav, res.sample_rate)
         return res
 
-    def turn(self, user_text: str) -> tuple[str, int, str]:
-        """One dialogue turn: user text → (llm reply, speaker id, spoken text)."""
+    def respond(self, user_text: str) -> tuple[str, int, str]:
+        """LLM half of a turn: user text → (llm reply, speaker id, spoken
+        text), no audio.  Lets UIs display the reply before/while speaking
+        (the reference game types the text, then plays, main.py:324-368)."""
         response = self.llm.chat(self.prompt, self.history, user_text)
         self.history.append({"role": "user", "content": user_text})
         self.history.append({"role": "assistant", "content": response})
         spk, text = parse_emoji_response(response, self.mapping)
         spoken = text if text else "nice"  # reference: feel_me.py:315-317
+        return response, spk, spoken
+
+    def turn(self, user_text: str) -> tuple[str, int, str]:
+        """One dialogue turn: user text → (llm reply, speaker id, spoken text)."""
+        response, spk, spoken = self.respond(user_text)
         self.speak(spoken, spk)
         return response, spk, spoken
 

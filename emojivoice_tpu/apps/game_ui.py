@@ -41,6 +41,8 @@ class ConsoleUI:
     """Interface-compatible console fallback (what the reference's loop
     degenerates to without a display): typewriter → single print."""
 
+    echoes_text = True  # typewriter prints; the game loop must not re-print
+
     def __init__(self):
         self.closed = False
 
@@ -66,6 +68,8 @@ class GameWindow:
 
     Only constructed when pygame imports (see :func:`make_ui`).
     """
+
+    echoes_text = False  # display-only; the game loop logs to console
 
     def __init__(self, background: Optional[str] = None,
                  size=(WIN_WIDTH, WIN_HEIGHT), char_delay: float = TYPEWRITER_DELAY_S):

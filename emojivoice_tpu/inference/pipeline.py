@@ -319,7 +319,10 @@ class SynthesisPipeline:
         else:
             stage_a = self._get_stage_a(t_bucket, b)
             mu_x, w_ceil, y_lengths, x_mask, spk_e = stage_a(self.params, x, x_lengths, spk_arr, ls)
-            y_len_max = int(jax.device_get(jnp.max(y_lengths)))  # the host sync
+            # the host sync — fetch the (B,) vector and reduce on host: an
+            # eager jnp.max would be its own dispatched program (one extra
+            # tunnel round trip) before the fetch
+            y_len_max = int(np.max(jax.device_get(y_lengths)))
             m_bucket = pick_bucket(fix_len_compatibility(y_len_max), self.mel_buckets)
             stage_b = self._get_stage_b(t_bucket, m_bucket, b, n_timesteps, denoise, keep_mel, vocode, pcm16)
             out = stage_b(self.params, self.vocoder_params, mu_x, w_ceil, y_lengths, x_mask, spk_e,

@@ -57,7 +57,7 @@ class BatchingEngine:
         pipe,
         max_batch: int = 8,
         max_wait_ms: float = 10.0,
-        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+        batch_buckets: Optional[Sequence[int]] = None,
         seed: int = 0,
         keep_mel: bool = False,
         pcm16: bool = True,
@@ -67,6 +67,11 @@ class BatchingEngine:
         is empty).  A batch-8 dispatch otherwise ships ~5.5 MB of mel +
         f32 waveform over the device link — measured 4+ s/batch on the
         tunnel — vs ~2 MB for pcm16 audio alone."""
+        if batch_buckets is None:
+            # powers of two up to max_batch (any max_batch works out of the box)
+            batch_buckets = [1]
+            while batch_buckets[-1] < max_batch:
+                batch_buckets.append(batch_buckets[-1] * 2)
         if max_batch > max(batch_buckets):
             raise ValueError(f"max_batch {max_batch} exceeds largest batch bucket {max(batch_buckets)}")
         self.pipe = pipe
@@ -107,6 +112,12 @@ class BatchingEngine:
         """Enqueue one utterance; resolves to a SynthesisResult."""
         if self._closed:
             raise RuntimeError("engine is closed")
+        if language is not None:
+            # fail fast in the caller, not inside a merged batch
+            from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+            if language not in LANGUAGE_CLEANERS:
+                raise KeyError(f"Unknown language {language!r}; available: {sorted(LANGUAGE_CLEANERS)}")
         key = (int(n_timesteps), float(temperature), float(length_scale),
                float(denoiser_strength), language)
         fut: Future = Future()
@@ -180,11 +191,17 @@ class BatchingEngine:
                 denoiser_strength=dn, language=language, seed=seed,
                 keep_mel=self.keep_mel, pcm16=self.pcm16,
             )
-        except Exception as e:  # noqa: BLE001 — propagate to every waiter
-            for r in batch:
-                r.future.set_exception(e)
+        except Exception as e:  # noqa: BLE001
+            if n > 1:
+                # isolate the poison row: the co-batched requests are
+                # innocent (e.g. one text overflows the largest bucket) —
+                # re-dispatch each alone so only the bad one fails
+                for r in batch:
+                    self._dispatch([r])
+                return
+            batch[0].future.set_exception(e)
             with self._lock:
-                self._stats["errors"] += n
+                self._stats["errors"] += 1
             return
         dt_s = time.monotonic() - t0
         for r, res in zip(batch, results):

@@ -51,6 +51,10 @@ class StreamingVocoder:
         self._first = make(0, ov)       # window ck+ov, no left context
         self._middle = make(ov, ov)     # window ck+2ov
         self._last = make(ov, 0)        # window ck+ov, no right context
+        # single-chunk utterances (the common short-reply case): whole mel in
+        # one call — built once here, NOT jax.jit-ed per stream() call, which
+        # would retrace every utterance on the latency-critical path
+        self._full = jax.jit(lambda params, window: self.vocoder.apply(params, window))
 
     def stream(self, mel: np.ndarray, mel_length: Optional[int] = None) -> Iterator[np.ndarray]:
         """mel (T, n_mels) with T a multiple of chunk_frames (the bucket) →
@@ -75,7 +79,7 @@ class StreamingVocoder:
                 if n_chunks == 1:
                     # numpy input: the transfer rides the dispatch (one
                     # tunnel round trip instead of an eager put + call)
-                    wav = np.asarray(jax.jit(self.vocoder.apply)(self.params, mel[None]))[0]
+                    wav = np.asarray(self._full(self.params, mel[None]))[0]
                     yield wav[:target]
                     return
             elif c == n_chunks - 1:

@@ -76,6 +76,22 @@ def _backtrace_scan(value: jnp.ndarray, t_x: jnp.ndarray, t_y: jnp.ndarray) -> j
     return rows[::-1].T  # (T_x, T_y)
 
 
+def resolve_backend(shape) -> str:
+    """Backend for backend="auto" at a given (B, T_x, T_y) shape.
+
+    The Pallas kernel holds ONE (T_y, 16, T_x) f32 block in VMEM
+    (ops/mas_pallas.py); beyond the proven budget (12.6 MB = the
+    T_x=256 × T_y=768 training config) Mosaic would fail to allocate at
+    compile time mid-training, so larger buckets fall back to the scan
+    formulation, which has no shape ceiling.
+    """
+    from emojivoice_tpu.ops.mas_pallas import BATCH_BLOCK
+
+    _, t_x, t_y = shape
+    fits = t_y * BATCH_BLOCK * t_x * 4 <= 768 * 16 * 256 * 4
+    return "pallas" if (jax.default_backend() == "tpu" and fits) else "jax"
+
+
 @functools.partial(jax.jit, static_argnames=("backend",))
 def maximum_path(value: jnp.ndarray, mask: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """Batched MAS: most-likely monotone path through a log-prior.
@@ -91,7 +107,7 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray, backend: str = "auto") -
     Returns binary path of the same shape/dtype as `value`.
     """
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+        backend = resolve_backend(value.shape)
     if backend == "cpp":
         from emojivoice_tpu.ops.mas_cpp import maximum_path_cpp
 

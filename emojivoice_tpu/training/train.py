@@ -39,9 +39,10 @@ def build_parser():
     p.add_argument("--decay_steps", type=int, default=100_000)
     p.add_argument("--scheduler_gamma", type=float, default=0.1)
     p.add_argument("--lr_end", type=float, default=0.0)
-    p.add_argument("--precision", default="f32", choices=["f32", "bf16-mixed"],
+    p.add_argument("--precision", default=None, choices=[None, "f32", "bf16-mixed"],
                    help="bf16-mixed = reference 16-mixed analog (bf16 compute, f32 "
-                        "params/losses/optimizer); f32 measured faster at this model size")
+                        "params/losses/optimizer); f32 measured faster at this model size; "
+                        "default comes from the preset's trainer.precision")
     p.add_argument("--out_size", type=int, default=None, help="Grad-TTS segment crop (multiple of 4)")
     p.add_argument("--from_torch_ckpt", default=None, help="fine-tune from a reference .ckpt")
     p.add_argument("--resume", action="store_true", help="resume from latest orbax ckpt in out_dir")
@@ -176,8 +177,11 @@ def _run(args) -> int:
     val_batcher = BucketBatcher(valid_ds, args.batch_size, min_mel_bucket=min_mel,
                                 shuffle=False, seed=args.seed)
 
-    train_step = make_train_step(model_cfg, opt_cfg, mesh=mesh, precision=args.precision)
-    eval_step = make_eval_step(model_cfg, mesh=mesh, precision=args.precision)
+    # flag overrides the preset's trainer.precision (reference: the trainer
+    # config's `precision: 16-mixed`, configs/trainer/default.yaml)
+    precision = args.precision or root.trainer.precision
+    train_step = make_train_step(model_cfg, opt_cfg, mesh=mesh, precision=precision)
+    eval_step = make_eval_step(model_cfg, mesh=mesh, precision=precision)
     rng = jax.random.PRNGKey(args.seed)
 
     metrics_path = Path(args.out_dir) / "metrics.jsonl"

@@ -148,3 +148,42 @@ def test_game_loop_drives_ui(monkeypatch, tmp_path):
     assert len(ui.typed) == 1
     assert len(ui.notices) == 1  # the empty transcription
     assert ui.closed
+
+
+def test_game_sequencing_matches_reference(tmp_path):
+    """Reference flow (case3_game/main.py:324-368): the reply is TYPED
+    first, audio plays with the text still on screen, and the bar clears
+    only after playback.  Also: the loop must not re-print text a console
+    UI already echoed (echoes_text)."""
+    from emojivoice_tpu.apps.adapters import FileSink, ScriptedLLM
+    from emojivoice_tpu.apps.demos import run_game
+    from emojivoice_tpu.config import get_preset
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+    events = []
+
+    class FakeASR:
+        def __init__(self):
+            self.lines = iter(["a story begins", "end session"])
+
+        def transcribe(self, _):
+            return next(self.lines)
+
+    class OrderedUI(game_ui.ConsoleUI):
+        def typewriter(self, text):
+            events.append("type")
+
+        def clear_text(self):
+            events.append("clear")
+
+    class OrderedSink(FileSink):
+        def play(self, wav, sr):
+            events.append("play")
+            return super().play(wav, sr)
+
+    pipe = SynthesisPipeline.from_random(get_preset("tiny"), cleaners=("basic_cleaners",))
+    n = run_game(pipe, steps=2, llm=ScriptedLLM(), asr=FakeASR(),
+                 sink=OrderedSink(str(tmp_path)), ui=OrderedUI())
+    assert n == 1
+    assert events == ["type", "play", "clear"]
+    assert game_ui.ConsoleUI.echoes_text and not game_ui.GameWindow.echoes_text

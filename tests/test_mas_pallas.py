@@ -50,3 +50,20 @@ def test_auto_backend_dispatch():
     got = np.asarray(maximum_path(jnp.asarray(value), jnp.asarray(mask)))
     want = maximum_path_numpy(value * mask, mask)
     np.testing.assert_array_equal(got, want)
+
+
+def test_auto_backend_vmem_guard(monkeypatch):
+    """backend="auto" must not route shapes whose (T_y, 16, T_x) f32 block
+    exceeds the proven VMEM budget to the Pallas kernel — Mosaic would fail
+    to allocate at compile time mid-training (large mel/text buckets)."""
+    import jax
+
+    from emojivoice_tpu.ops.mas import resolve_backend
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_backend((16, 256, 768)) == "pallas"  # proven training config
+    assert resolve_backend((16, 128, 512)) == "pallas"  # smaller: fine
+    assert resolve_backend((16, 256, 1024)) == "jax"    # 16.8 MB: over budget
+    assert resolve_backend((16, 512, 2048)) == "jax"    # 64 MB: far over
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve_backend((16, 128, 256)) == "jax"     # never pallas off-TPU

@@ -58,16 +58,37 @@ def test_mismatched_program_keys_split_batches(pipe):
     assert s["batched_rows"] == 3
 
 
-def test_error_propagates_to_all_waiters(pipe):
-    with BatchingEngine(pipe, max_batch=2, max_wait_ms=500, batch_buckets=(1, 2)) as eng:
-        bad = [eng.submit("boom", language="klingon", n_timesteps=2) for _ in range(2)]
-        for f in bad:
-            with pytest.raises(KeyError):
-                f.result(timeout=300)
-        # the engine survives and serves the next request
+def test_bad_language_rejected_at_submit(pipe):
+    """Validation happens in the caller, not inside a merged batch."""
+    with BatchingEngine(pipe, max_batch=2, max_wait_ms=100) as eng:
+        with pytest.raises(KeyError):
+            eng.submit("boom", language="klingon", n_timesteps=2)
         ok = eng.submit("still alive", n_timesteps=2).result(timeout=300)
         assert ok.mel_length > 0
-        assert eng.stats()["errors"] == 2
+
+
+def test_poison_row_isolated_from_batch(pipe):
+    """A request that fails at dispatch (text exceeds every bucket) must not
+    fail the innocent requests coalesced with it — the engine re-dispatches
+    the batch as singletons so only the bad row errors."""
+    too_long = "word " * 200  # tiny pipe's largest text bucket is 64
+    with BatchingEngine(pipe, max_batch=3, max_wait_ms=2000, batch_buckets=(1, 2, 4)) as eng:
+        good1 = eng.submit("short one", n_timesteps=2)
+        bad = eng.submit(too_long, n_timesteps=2)
+        good2 = eng.submit("short two", n_timesteps=2)
+        assert good1.result(timeout=300).mel_length > 0
+        assert good2.result(timeout=300).mel_length > 0
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+        assert eng.stats()["errors"] == 1
+
+
+def test_batch_buckets_derived_from_max_batch(pipe):
+    """--max_batch above the old fixed bucket list must not crash (webapp
+    exposes the knob); buckets derive as powers of two."""
+    eng = BatchingEngine(pipe, max_batch=16, max_wait_ms=1)
+    assert eng.batch_buckets == (1, 2, 4, 8, 16)
+    eng.close()
 
 
 def test_close_rejects_new_and_drains(pipe):
