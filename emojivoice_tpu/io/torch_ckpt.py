@@ -178,7 +178,17 @@ def convert_matcha_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[cfglib.Mo
     if cfg.n_spks > 1:
         _set(out, ("spk_emb", "embedding"), sd["spk_emb.weight"])
 
-    # ---- text encoder -----------------------------------------------------
+    _convert_encoder(sd, cfg, out)
+    _convert_estimator(sd, cfg, out)
+    return {"params": out}
+
+
+def _convert_encoder(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: dict) -> None:
+    """TextEncoder section of the state-dict conversion (keys "encoder.*").
+
+    Factored out so parity tests can convert a standalone reference
+    TextEncoder state dict (reference text_encoder.py:328-410) without the
+    rest of the model."""
     _set(out, ("encoder", "emb", "embedding"), sd["encoder.emb.weight"])
     if cfg.encoder.prenet:
         for i in range(3):
@@ -221,7 +231,9 @@ def convert_matcha_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[cfglib.Mo
     _set(out, ("encoder", "proj_w", "proj", "kernel"), _dense_w(sd["encoder.proj_w.proj.weight"]))
     _set(out, ("encoder", "proj_w", "proj", "bias"), sd["encoder.proj_w.proj.bias"])
 
-    # ---- CFM estimator (U-Net) -------------------------------------------
+
+def _convert_estimator(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: dict) -> None:
+    """CFM estimator (U-Net) section of the conversion (keys "decoder.estimator.*")."""
     est = "decoder.estimator"
     for lin in ("linear_1", "linear_2"):
         _set(out, ("decoder", "estimator", "time_mlp", lin, "kernel"),
@@ -267,8 +279,6 @@ def convert_matcha_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[cfglib.Mo
     _set(out, ("decoder", "estimator", "final_block", "norm", "bias"), sd[f"{est}.final_block.block.1.bias"])
     _set(out, ("decoder", "estimator", "final_proj", "kernel"), _dense_w(sd[f"{est}.final_proj.weight"]))
     _set(out, ("decoder", "estimator", "final_proj", "bias"), sd[f"{est}.final_proj.bias"])
-
-    return {"params": out}
 
 
 def load_matcha_params(path: str) -> Tuple[dict, cfglib.ModelConfig]:
