@@ -218,3 +218,52 @@ def test_gan_step_trains_weight_norm_params(rng):
     g_before = before["params"]["conv_pre"]["g"]
     g_after = after["params"]["conv_pre"]["g"]
     assert not np.allclose(g_before, g_after)
+
+
+def test_denoiser_parity_vs_reference_code(rng):
+    """Oracle is the ACTUAL reference Denoiser (hifigan/denoiser.py:7-64,
+    torch-only import) built on the ACTUAL reference Generator: same
+    weights on both sides, same zero-mel bias probe, same strength —
+    denoised audio must match."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/Matcha-TTS")
+    try:
+        from matcha.hifigan.denoiser import Denoiser as RefDenoiser
+        from matcha.hifigan.models import Generator as RefGenerator
+    finally:
+        sys.path.pop(0)
+
+    from types import SimpleNamespace
+
+    from emojivoice_tpu.vocoder import Denoiser as OurDenoiser
+
+    cfg = HiFiGANConfig()
+    h = SimpleNamespace(
+        resblock="1",
+        upsample_rates=list(cfg.upsample_rates),
+        upsample_kernel_sizes=list(cfg.upsample_kernel_sizes),
+        upsample_initial_channel=cfg.upsample_initial_channel,
+        resblock_kernel_sizes=list(cfg.resblock_kernel_sizes),
+        resblock_dilation_sizes=[list(d) for d in cfg.resblock_dilation_sizes],
+    )
+    torch.manual_seed(3)
+    ref_gen = RefGenerator(h)
+    ref_gen.remove_weight_norm()
+    ref_gen.eval()
+    ref_den = RefDenoiser(ref_gen, mode="zeros")
+
+    sd = {k: v.numpy() for k, v in ref_gen.state_dict().items()}
+    ours_params = convert_hifigan_state_dict(sd, cfg)
+    voc = HiFiGANGenerator(cfg=cfg)
+    our_den = OurDenoiser(lambda m: voc.apply(ours_params, m), mode="zeros", num_mels=cfg.num_mels)
+
+    audio = (rng.normal(size=(1, 8192)) * 0.3).astype(np.float32)
+    strength = 0.00025
+    with torch.no_grad():
+        ref_out = ref_den(torch.from_numpy(audio), strength=strength).numpy()
+    our_out = np.asarray(our_den(jnp.asarray(audio), strength))
+
+    n = min(ref_out.shape[-1], our_out.shape[-1])
+    mae = float(np.abs(our_out[..., :n].squeeze() - ref_out[..., :n].squeeze()).mean())
+    assert mae < 1e-5, mae
