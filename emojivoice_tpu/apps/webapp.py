@@ -93,7 +93,10 @@ def make_handler(pipeline, defaults, engine=None):
             if self.path in ("/", "/index.html"):
                 self._send(_PAGE.format(result="", **defaults))
             elif self.path == "/health":
-                self._send(json.dumps({"ok": True}), ctype="application/json")
+                body = {"ok": True}
+                if engine is not None:
+                    body["serving"] = engine.stats()
+                self._send(json.dumps(body), ctype="application/json")
             else:
                 self._send("not found", 404)
 

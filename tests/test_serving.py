@@ -136,6 +136,10 @@ def test_webapp_with_batching(pipe):
         s = server.engine.stats()
         assert s["requests"] == 4
         assert s["batches"] <= 2  # coalesced (1 expected; 2 tolerated for thread-start skew)
+        # /health exposes the engine counters for observability
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["serving"]["requests"] == 4
     finally:
         server.shutdown()
         server.engine.close()
