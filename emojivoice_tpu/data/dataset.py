@@ -56,6 +56,16 @@ class TextMelDataset:
     def __len__(self):
         return len(self.items)
 
+    def item_lengths(self, idx: int) -> tuple[int, int]:
+        """(text_ids_len, mel_frames) without keeping the arrays — used by
+        the batcher's multi-process mode to agree on bucket shapes globally
+        (every process must compile the same program for batch collectives
+        to line up).  One full scan at batcher init; standard TTS practice
+        (the reference's datamodule also touches every wav up front for
+        stats, generate_data_statistics.py)."""
+        it = self[idx]
+        return len(it["x"]), it["y"].shape[0]
+
     def __getitem__(self, idx: int) -> dict:
         path, spk, text = self.items[idx]
         ids, cleaned = text_to_sequence(text, self.cfg.cleaners)
@@ -94,6 +104,7 @@ class BucketBatcher:
         shuffle: bool = True,
         seed: int = 1234,
         drop_last: bool = False,
+        process_shard: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -105,6 +116,20 @@ class BucketBatcher:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        # multi-process (DCN) mode: (process_id, process_count).  Every
+        # process walks the SAME global batch order and bucket choices
+        # (identical seed + a one-time length scan), but materializes only
+        # its own row slice of each batch — the data-parallel IO split with
+        # globally agreed XLA program shapes.
+        self.process_shard = process_shard
+        self._lengths = None
+        if process_shard is not None:
+            pid, pcount = process_shard
+            if not (0 <= pid < pcount):
+                raise ValueError(f"bad process_shard {process_shard}")
+            if batch_size % pcount:
+                raise ValueError(f"batch_size {batch_size} must divide by process count {pcount}")
+            self._lengths = [dataset.item_lengths(j) for j in range(len(dataset))]
 
     def __iter__(self) -> Iterator[dict]:
         order = list(range(len(self.dataset)))
@@ -115,15 +140,45 @@ class BucketBatcher:
             idxs = order[i : i + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 continue
-            yield self.collate([self.dataset[j] for j in idxs])
+            if self.process_shard is None:
+                yield self.collate([self.dataset[j] for j in idxs])
+            else:
+                yield self._collate_process_shard(idxs)
 
-    def collate(self, items: List[dict]) -> dict:
-        b = len(items)
-        tb = pick_bucket(max(len(it["x"]) for it in items), self.text_buckets)
-        max_mel = max(it["y"].shape[0] for it in items)
+    def _collate_process_shard(self, idxs: List[int]) -> dict:
+        """One global batch, this process's rows only.
+
+        Buckets come from the GLOBAL rows (via the length cache) so every
+        process compiles identical shapes; the local slice is padded to
+        exactly batch_size/process_count rows with zero-weight repeats
+        ("row_mask"), so per-process shapes agree even on the uneven final
+        batch and no data is dropped anywhere.
+        """
+        pid, pcount = self.process_shard
+        tb = pick_bucket(max(self._lengths[j][0] for j in idxs), self.text_buckets)
+        max_mel = max(self._lengths[j][1] for j in idxs)
         if self.min_mel_bucket is not None:
             max_mel = max(max_mel, self.min_mel_bucket)
         mb = pick_bucket(max_mel, self.mel_buckets)
+
+        local = idxs[pid::pcount]
+        b_local = self.batch_size // pcount
+        n_real = len(local)
+        local = (local + [local[-1] if local else idxs[0]] * b_local)[:b_local]
+        batch = self.collate([self.dataset[j] for j in local], t_bucket=tb, m_bucket=mb)
+        row_mask = np.zeros((b_local,), np.float32)
+        row_mask[:n_real] = 1.0
+        batch["row_mask"] = row_mask
+        return batch
+
+    def collate(self, items: List[dict], t_bucket: Optional[int] = None,
+                m_bucket: Optional[int] = None) -> dict:
+        b = len(items)
+        tb = t_bucket or pick_bucket(max(len(it["x"]) for it in items), self.text_buckets)
+        max_mel = max(it["y"].shape[0] for it in items)
+        if self.min_mel_bucket is not None:
+            max_mel = max(max_mel, self.min_mel_bucket)
+        mb = m_bucket or pick_bucket(max_mel, self.mel_buckets)
 
         x = np.zeros((b, tb), np.int32)
         x_lengths = np.zeros((b,), np.int32)

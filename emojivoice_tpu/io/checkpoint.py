@@ -33,7 +33,13 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, cfg: Optional[cfglib.RootConfig] = None, force: bool = False):
-        if cfg is not None:
+        """Multiprocess note: call from EVERY process — orbax coordinates
+        internally and writes once; a single-process call under
+        jax.distributed deadlocks its sync barrier.  The config sidecar is
+        written by process 0 only."""
+        import jax
+
+        if cfg is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 json.dump(cfglib.to_dict(cfg), f, indent=2)
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)

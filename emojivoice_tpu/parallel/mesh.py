@@ -41,9 +41,32 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def initialize_distributed(coordinator: str, num_processes: int, process_id: int) -> None:
+    """Multi-host (DCN) bring-up: one call before any device use.
+
+    The JAX analog of torch.distributed.init_process_group — afterwards
+    ``jax.devices()`` spans every process and a mesh over it makes the
+    jitted step's collectives run cross-host (Gloo on CPU — literally the
+    reference's ddp_sim backend, but real multi-process; ICI/DCN on TPU
+    pods).  Reference: configs/trainer/ddp.yaml + ddp_sim.yaml semantics.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes, process_id=process_id)
+
+
 def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
-    """Device-put every array in a batch dict with batch-dim sharding."""
+    """Place a batch dict with batch-dim sharding over the mesh.
+
+    Single-process: a plain sharded device_put.  Multi-process (after
+    ``initialize_distributed``): `batch` holds only THIS process's rows and
+    the global array is assembled from per-process shards without any
+    cross-host data movement (jax.make_array_from_process_local_data).
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -50,6 +50,13 @@ def build_parser():
     p.add_argument("--tp", type=int, default=1,
                    help="model-axis degree of a 2-D (data, model) mesh; params + adam "
                         "state shard per parallel/tp.py rules (1 = pure data parallel)")
+    # multi-host (DCN) data parallelism — run the same command on every host
+    # with its own --dcn_process_id (reference analog: trainer ddp over
+    # multiple nodes; ddp_sim = the CPU multi-process variant)
+    p.add_argument("--dcn_coordinator", default=None,
+                   help="host:port of process 0; enables jax.distributed multi-process training")
+    p.add_argument("--dcn_num_processes", type=int, default=1)
+    p.add_argument("--dcn_process_id", type=int, default=0)
     p.add_argument("--ckpt_every_steps", type=int, default=1000)
     p.add_argument("--val_every_steps", type=int, default=500)
     p.add_argument("--log_every", type=int, default=10)
@@ -95,8 +102,22 @@ def _run(args) -> int:
     from emojivoice_tpu import config as cfglib
     from emojivoice_tpu.data.dataset import BucketBatcher, Prefetcher, TextMelDataset
     from emojivoice_tpu.io.checkpoint import CheckpointManager
-    from emojivoice_tpu.parallel.mesh import make_mesh, pad_batch_to_multiple, shard_batch
+    from emojivoice_tpu.parallel.mesh import (
+        initialize_distributed,
+        make_mesh,
+        pad_batch_to_multiple,
+        shard_batch,
+    )
     from emojivoice_tpu.training.state import TrainState, create_train_state, make_eval_step, make_train_step
+
+    if args.dcn_coordinator:
+        # before ANY device query (jax.distributed must come up first)
+        initialize_distributed(args.dcn_coordinator, args.dcn_num_processes, args.dcn_process_id)
+        if args.tp > 1:
+            raise SystemExit("--tp with --dcn_* is not supported (sharded checkpoint "
+                             "save across hosts needs a process_allgather path)")
+    is_p0 = jax.process_index() == 0
+    pcount = jax.process_count()
 
     if args.detect_anomaly:
         from emojivoice_tpu.utils.observability import enable_nan_checks
@@ -141,7 +162,12 @@ def _run(args) -> int:
     else:
         mesh = make_mesh(n_dev)
     n_data = n_dev // args.tp  # rows shard over the data axis only
-    print(f"[train] devices={n_dev} mesh={mesh} preset={args.preset}", flush=True)
+    if pcount > 1 and args.batch_size % n_data:
+        raise SystemExit(f"--batch_size {args.batch_size} must divide by the global "
+                         f"data-axis size {n_data} under --dcn_*")
+    if is_p0:
+        print(f"[train] devices={n_dev} processes={pcount} mesh={mesh} preset={args.preset}",
+              flush=True)
 
     params = None
     if args.from_torch_ckpt:
@@ -157,8 +183,9 @@ def _run(args) -> int:
     n_params = sum(int(p.size) for p in jax.tree.leaves(state.params))
     n_enc = sum(int(p.size) for p in jax.tree.leaves(state.params["params"].get("encoder", {})))
     n_dec = sum(int(p.size) for p in jax.tree.leaves(state.params["params"].get("decoder", {})))
-    print(f"[train] params total={n_params/1e6:.2f}M encoder={n_enc/1e6:.2f}M "
-          f"decoder={n_dec/1e6:.2f}M  lr={opt_cfg.lr} out_size={args.out_size}", flush=True)
+    if is_p0:
+        print(f"[train] params total={n_params/1e6:.2f}M encoder={n_enc/1e6:.2f}M "
+              f"decoder={n_dec/1e6:.2f}M  lr={opt_cfg.lr} out_size={args.out_size}", flush=True)
     mgr = CheckpointManager(os.path.join(args.out_dir, "ckpts"),
                             max_to_keep=root.trainer.save_top_k)
     if args.resume and mgr.latest_step() is not None:
@@ -173,9 +200,13 @@ def _run(args) -> int:
     train_ds = TextMelDataset(args.train_filelist, data_cfg)
     valid_ds = TextMelDataset(args.valid_filelist, data_cfg)
     min_mel = args.out_size if args.out_size else None
-    batcher = BucketBatcher(train_ds, args.batch_size, min_mel_bucket=min_mel, seed=args.seed)
+    # multi-process: every process walks the same global batch order/buckets
+    # but loads only its row slice (data/dataset.py _collate_process_shard)
+    shard = (jax.process_index(), pcount) if pcount > 1 else None
+    batcher = BucketBatcher(train_ds, args.batch_size, min_mel_bucket=min_mel, seed=args.seed,
+                            process_shard=shard)
     val_batcher = BucketBatcher(valid_ds, args.batch_size, min_mel_bucket=min_mel,
-                                shuffle=False, seed=args.seed)
+                                shuffle=False, seed=args.seed, process_shard=shard)
 
     # flag overrides the preset's trainer.precision (reference: the trainer
     # config's `precision: 16-mixed`, configs/trainer/default.yaml)
@@ -189,7 +220,13 @@ def _run(args) -> int:
 
     from emojivoice_tpu.utils.observability import TensorBoardWriter
 
-    tb = TensorBoardWriter(str(Path(args.out_dir) / "tb"))
+    class _NullTB:  # non-zero processes: no event files, same interface
+        def scalar(self, *a, **k): pass
+        def image(self, *a, **k): pass
+        def flush(self): pass
+        def close(self): pass
+
+    tb = TensorBoardWriter(str(Path(args.out_dir) / "tb")) if is_p0 else _NullTB()
 
     def render_val_samples(step):
         if args.render_val_samples <= 0 or len(valid_ds) == 0:
@@ -204,6 +241,8 @@ def _run(args) -> int:
         tb.flush()
 
     def log_metrics(tag, step, m, extra=None):
+        if not is_p0:  # metrics are mesh-reduced, identical on every process
+            return
         rec = {"tag": tag, "step": int(step), "time": dt.datetime.now().isoformat(),
                **{k: float(v) for k, v in m.items()}}
         if extra:
@@ -235,28 +274,37 @@ def _run(args) -> int:
                 # uneven final batch: pad with zero-weight rows so it still
                 # shards — no data dropped (the reference's DDP drop_last
                 # analog would discard a whole tail batch per epoch, real
-                # data for the 2-min-per-emoji fine-tune sets, /README.md:150)
-                batch = pad_batch_to_multiple(batch, n_data)
+                # data for the 2-min-per-emoji fine-tune sets, /README.md:150).
+                # In multi-process mode the batcher already emitted fixed-size
+                # local slices with row_mask.
+                if shard is None:
+                    batch = pad_batch_to_multiple(batch, n_data)
                 batch = shard_batch(mesh, batch)
                 state, m = train_step(state, batch, rng)
                 step_idx = int(state.step)
                 if step_idx % args.log_every == 0:
                     log_metrics("train", step_idx, m)
-                    for k, v in m.items():
-                        tb.scalar(f"train/{k}", float(v), step_idx)
+                    if is_p0:
+                        for k, v in m.items():
+                            tb.scalar(f"train/{k}", float(v), step_idx)
                 if args.val_every_steps > 0 and step_idx % args.val_every_steps == 0:
                     vms = []
                     for vb in val_batcher:
-                        vb = pad_batch_to_multiple(vb, n_data)
+                        if shard is None:
+                            vb = pad_batch_to_multiple(vb, n_data)
                         vms.append({k: float(v) for k, v in
                                     eval_step(state.params, shard_batch(mesh, vb),
                                               jax.random.PRNGKey(0)).items()})
                     if vms:
                         avg = {k: float(np.mean([m[k] for m in vms])) for k in vms[0]}
                         log_metrics("val", step_idx, avg)
-                        for k, v in avg.items():
-                            tb.scalar(f"val/{k}", v, step_idx)
-                        render_val_samples(step_idx)
+                        if is_p0:
+                            for k, v in avg.items():
+                                tb.scalar(f"val/{k}", v, step_idx)
+                            render_val_samples(step_idx)
+                # NOTE: saves run on EVERY process — orbax is multiprocess-
+                # aware (it coordinates internally and writes once); calling
+                # it from process 0 alone deadlocks its sync barrier
                 if args.ckpt_every_steps > 0 and step_idx % args.ckpt_every_steps == 0:
                     mgr.save(step_idx, jax.device_get(
                         {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
@@ -268,7 +316,7 @@ def _run(args) -> int:
         # final save (save_last analog) — skip if the in-loop save already
         # wrote this exact step (orbax raises StepAlreadyExistsError; force=
         # only bypasses save_interval_steps, not existing steps)
-        if mgr.latest_step() != step_idx:
+        if mgr.latest_step() != step_idx:  # all processes (orbax coordinates)
             mgr.save(step_idx, jax.device_get(
                 {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
                 cfg=dataclasses.replace(root, model=model_cfg), force=True)
@@ -277,8 +325,9 @@ def _run(args) -> int:
         # reference's task_wrapper "close wandb" guarantee)
         tb.close()
         mgr.close()
-    print(f"[train] finished at step {step_idx} "
-          f"({(dt.datetime.now() - t_start).total_seconds():.0f}s)", flush=True)
+    if is_p0:
+        print(f"[train] finished at step {step_idx} "
+              f"({(dt.datetime.now() - t_start).total_seconds():.0f}s)", flush=True)
     return 0
 
 
