@@ -122,8 +122,11 @@ def make_handler(pipeline, defaults, engine=None):
             spk = int(form.get("spk", defaults["spk"]))
             if engine is not None:
                 # dynamic batching: concurrent HTTP threads coalesce into one
-                # padded-batch TPU dispatch (inference/serving.py)
-                res = engine.synthesise(text, spk=spk, **params)
+                # padded-batch TPU dispatch (inference/serving.py).  The HTML
+                # UI shows the mel image, so the form path opts into it; the
+                # JSON API keeps the lean audio-only payload.
+                want_mel = self.path == "/synthesise"
+                res = engine.synthesise(text, spk=spk, keep_mel=want_mel, **params)
             else:
                 res = pipeline.synthesise([text], spks=[spk], **params)[0]
             if self.path == "/api/synthesise":

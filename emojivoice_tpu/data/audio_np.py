@@ -20,6 +20,36 @@ from emojivoice_tpu.ops.mel import mel_filterbank
 from emojivoice_tpu.ops.stft import hann_window
 
 
+def wav_info(path: str) -> Tuple[int, int]:
+    """(num_sample_frames, sample_rate) from the WAV header ONLY — no
+    decode.  RIFF chunk walk handles PCM and IEEE-float files (the stdlib
+    `wave` module rejects float WAVs).  Used by the multi-process batcher
+    to size mel buckets without reading/STFTing every file."""
+    import struct
+
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        channels = bits = rate = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                fmt = f.read(size)
+                _, channels, rate = struct.unpack("<HHI", fmt[:8])
+                bits = struct.unpack("<H", fmt[14:16])[0]
+            elif cid == b"data":
+                if channels is None or not bits:
+                    break
+                return size // (channels * (bits // 8)), int(rate)
+            else:
+                f.seek(size + (size & 1), 1)  # chunks are word-aligned
+    raise ValueError(f"no fmt/data chunks found: {path}")
+
+
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a wav file → (float32 in [-1, 1], sample_rate)."""
     from scipy.io import wavfile

@@ -57,14 +57,31 @@ class TextMelDataset:
         return len(self.items)
 
     def item_lengths(self, idx: int) -> tuple[int, int]:
-        """(text_ids_len, mel_frames) without keeping the arrays — used by
-        the batcher's multi-process mode to agree on bucket shapes globally
+        """(text_ids_len, mel_frames) WITHOUT decoding audio — used by the
+        batcher's multi-process mode to agree on bucket shapes globally
         (every process must compile the same program for batch collectives
-        to line up).  One full scan at batcher init; standard TTS practice
-        (the reference's datamodule also touches every wav up front for
-        stats, generate_data_statistics.py)."""
-        it = self[idx]
-        return len(it["x"]), it["y"].shape[0]
+        to line up).  Text length comes from the cleaner alone; mel frames
+        from the WAV header sample count and the exact STFT frame
+        arithmetic of audio_np.mel_spectrogram_np.  Falls back to a full
+        __getitem__ for non-native sample rates (resampler length is the
+        resampler's business) or unparseable headers.  Pinned equal to
+        __getitem__ in tests/test_dcn.py."""
+        path, _, text = self.items[idx]
+        ids, _ = text_to_sequence(text, self.cfg.cleaners)
+        x_len = len(intersperse(ids, 0)) if self.cfg.add_blank else len(ids)
+        a = self.cfg.audio
+        try:
+            from emojivoice_tpu.data.audio_np import wav_info
+
+            n, sr = wav_info(path)
+        except Exception:  # noqa: BLE001 — odd container: decode instead
+            sr = None
+        if sr != a.sample_rate:
+            it = self[idx]
+            return len(it["x"]), it["y"].shape[0]
+        pad = (a.n_fft - a.hop_length) // 2
+        mel_len = 1 + (n + 2 * pad - a.n_fft) // a.hop_length
+        return x_len, mel_len
 
     def __getitem__(self, idx: int) -> dict:
         path, spk, text = self.items[idx]

@@ -59,14 +59,15 @@ class BatchingEngine:
         max_wait_ms: float = 10.0,
         batch_buckets: Optional[Sequence[int]] = None,
         seed: int = 0,
-        keep_mel: bool = False,
         pcm16: bool = True,
     ):
-        """keep_mel/pcm16 default to the serving-lean payload: audio only,
-        int16 on the wire (results still expose float32 wav; the mel field
-        is empty).  A batch-8 dispatch otherwise ships ~5.5 MB of mel +
-        f32 waveform over the device link — measured 4+ s/batch on the
-        tunnel — vs ~2 MB for pcm16 audio alone."""
+        """Payload defaults are serving-lean: audio only, int16 on the wire
+        (results still expose float32 wav; the mel field is empty unless a
+        request asks).  A batch-8 dispatch shipping mel + f32 waveform is
+        ~5.5 MB over the device link — measured 4+ s/batch on the tunnel —
+        vs ~2 MB for pcm16 audio alone.  ``submit(keep_mel=True)`` opts a
+        request into the spectrogram (part of the program key, so it merges
+        only with like requests)."""
         if batch_buckets is None:
             # powers of two up to max_batch (any max_batch works out of the box)
             batch_buckets = [1]
@@ -75,7 +76,6 @@ class BatchingEngine:
         if max_batch > max(batch_buckets):
             raise ValueError(f"max_batch {max_batch} exceeds largest batch bucket {max(batch_buckets)}")
         self.pipe = pipe
-        self.keep_mel = keep_mel
         self.pcm16 = pcm16
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -89,6 +89,7 @@ class BatchingEngine:
             "batched_rows": 0,
             "pad_rows": 0,
             "errors": 0,
+            "failed_batches": 0,
             "batch_hist": collections.Counter(),
             "wait_s_sum": 0.0,
             "dispatch_s_sum": 0.0,
@@ -108,6 +109,7 @@ class BatchingEngine:
         length_scale: float = 1.0,
         denoiser_strength: float = 0.00025,
         language: Optional[str] = None,
+        keep_mel: bool = False,
     ) -> Future:
         """Enqueue one utterance; resolves to a SynthesisResult."""
         if self._closed:
@@ -119,7 +121,7 @@ class BatchingEngine:
             if language not in LANGUAGE_CLEANERS:
                 raise KeyError(f"Unknown language {language!r}; available: {sorted(LANGUAGE_CLEANERS)}")
         key = (int(n_timesteps), float(temperature), float(length_scale),
-               float(denoiser_strength), language)
+               float(denoiser_strength), language, bool(keep_mel))
         fut: Future = Future()
         self._queue.put(_Request(text=text, spk=int(spk), key=key, future=fut))
         with self._lock:
@@ -137,7 +139,7 @@ class BatchingEngine:
         n_b = max(s["batches"], 1)
         s["mean_batch"] = s["batched_rows"] / n_b
         s["mean_wait_ms"] = 1e3 * s["wait_s_sum"] / max(s["requests"], 1)
-        s["mean_dispatch_ms"] = 1e3 * s["dispatch_s_sum"] / n_b
+        s["mean_dispatch_ms"] = 1e3 * s["dispatch_s_sum"] / max(s["batches"] + s["failed_batches"], 1)
         return s
 
     def close(self, timeout: float = 30.0):
@@ -180,7 +182,7 @@ class BatchingEngine:
         bucket = next(b for b in self.batch_buckets if b >= n)
         texts = [r.text for r in batch] + [batch[-1].text] * (bucket - n)
         spks = [r.spk for r in batch] + [batch[-1].spk] * (bucket - n)
-        steps, temp, ls, dn, language = batch[0].key
+        steps, temp, ls, dn, language, keep_mel = batch[0].key
         with self._lock:
             self._seed = (self._seed + 1) % (2**31 - 1)
             seed = self._seed
@@ -189,9 +191,14 @@ class BatchingEngine:
             results = self.pipe.synthesise(
                 texts, spks=spks, n_timesteps=steps, temperature=temp, length_scale=ls,
                 denoiser_strength=dn, language=language, seed=seed,
-                keep_mel=self.keep_mel, pcm16=self.pcm16,
+                keep_mel=keep_mel, pcm16=self.pcm16,
             )
         except Exception as e:  # noqa: BLE001
+            with self._lock:
+                # the failed attempt was a real dispatch: record it so
+                # monitoring can see batch-level failures happening at all
+                self._stats["failed_batches"] += 1
+                self._stats["dispatch_s_sum"] += time.monotonic() - t0
             if n > 1:
                 # isolate the poison row: the co-batched requests are
                 # innocent (e.g. one text overflows the largest bucket) —

@@ -175,8 +175,9 @@ def _run(args) -> int:
 
         params, loaded_cfg = load_matcha_params(args.from_torch_ckpt)
         model_cfg = dataclasses.replace(loaded_cfg, out_size=args.out_size)
-        print(f"[train] fine-tuning from {args.from_torch_ckpt} "
-              f"(n_spks={model_cfg.n_spks})", flush=True)
+        if is_p0:
+            print(f"[train] fine-tuning from {args.from_torch_ckpt} "
+                  f"(n_spks={model_cfg.n_spks})", flush=True)
 
     state = create_train_state(model_cfg, opt_cfg, seed=args.seed, params=params)
     # hparams/param-count logging (reference: utils/logging_utils.py:35-53)
@@ -195,7 +196,8 @@ def _run(args) -> int:
         restored = mgr.restore(template=template)
         state = TrainState(params=restored["params"], opt_state=restored["opt_state"],
                            step=restored["step"])
-        print(f"[train] resumed at step {int(state.step)}", flush=True)
+        if is_p0:
+            print(f"[train] resumed at step {int(state.step)}", flush=True)
 
     train_ds = TextMelDataset(args.train_filelist, data_cfg)
     valid_ds = TextMelDataset(args.valid_filelist, data_cfg)

@@ -60,8 +60,15 @@ def main() -> int:
             return outs, (dt.datetime.now() - t0).total_seconds()
 
         round_()  # settle: any residual bucket-combination compiles land here
+        before = eng.stats()
         all_out, wall = round_()  # steady state
-        stats = eng.stats()
+        after = eng.stats()
+        # report the steady round only — cumulative counters would mix in
+        # warmup/settle dispatches and compile-laden waits
+        stats = {k: after[k] - before[k]
+                 for k in ("requests", "batches", "batched_rows", "wait_s_sum", "dispatch_s_sum")}
+        stats["mean_batch"] = stats["batched_rows"] / max(stats["batches"], 1)
+        stats["mean_wait_ms"] = 1e3 * stats["wait_s_sum"] / max(stats["requests"], 1)
 
     audio_s = float(sum(len(r.wav) / r.sample_rate for r in all_out))
     print(json.dumps({
