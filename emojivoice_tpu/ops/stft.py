@@ -28,9 +28,21 @@ def hann_window(win_length: int) -> np.ndarray:
 
 def _frame(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """(B, L) → (B, T_frames, n_fft) overlapping frames, torch frame count:
-    T_frames = 1 + (L - n_fft) // hop."""
+    T_frames = 1 + (L - n_fft) // hop.
+
+    Fast path (hop | n_fft and hop | L — true for all production call
+    sites): reshape the signal into hop-sized blocks and concatenate
+    n_fft//hop shifted block views — pure slices, no gather.  A
+    (T_frames, n_fft) gather materializes badly on TPU (it was over half
+    the denoiser's cost); the reshape path is what makes the in-graph
+    STFT cheap.  Gather remains the general fallback.
+    """
     length = y.shape[-1]
     n_frames = 1 + (length - n_fft) // hop_length
+    r, rem = divmod(n_fft, hop_length)
+    if rem == 0 and length % hop_length == 0:
+        blocks = y.reshape(*y.shape[:-1], length // hop_length, hop_length)
+        return jnp.concatenate([blocks[..., j:j + n_frames, :] for j in range(r)], axis=-1)
     idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
     return y[..., idx]
 
@@ -88,19 +100,35 @@ def istft(
     n_fft//2 from both ends, giving L = hop * (T_frames - 1).
     """
     b, n_frames, _ = spec.shape
-    win = jnp.asarray(_padded_window(n_fft, win_length))
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * win
+    win_np = _padded_window(n_fft, win_length)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * jnp.asarray(win_np)
 
     out_len = n_fft + hop_length * (n_frames - 1)
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    flat_idx = jnp.asarray(idx.reshape(-1))
 
-    wav = jnp.zeros((b, out_len), dtype=frames.dtype)
-    wav = wav.at[:, flat_idx].add(frames.reshape(b, -1))
+    # squared-window envelope is data-independent — build it in numpy at
+    # trace time instead of a device scatter
+    env = np.zeros((out_len,), np.float32)
+    ww = (win_np * win_np).astype(np.float32)
+    for t in range(n_frames):
+        env[t * hop_length : t * hop_length + n_fft] += ww
 
-    env = jnp.zeros((out_len,), dtype=frames.dtype)
-    env = env.at[flat_idx].add(jnp.tile(win * win, (n_frames,)))
-    wav = wav / jnp.maximum(env, window_eps)
+    r, rem = divmod(n_fft, hop_length)
+    if rem == 0:
+        # overlap-add as n_fft//hop shifted slice-adds (no scatter): split
+        # each frame into hop-sized chunks; output block m sums chunk j of
+        # frame m-j
+        chunks = frames.reshape(b, n_frames, r, hop_length)
+        wav = jnp.zeros((b, n_frames + r - 1, hop_length), dtype=frames.dtype)
+        for j in range(r):
+            wav = wav.at[:, j : j + n_frames].add(chunks[:, :, j])
+        wav = wav.reshape(b, out_len)
+    else:
+        idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+        flat_idx = jnp.asarray(idx.reshape(-1))
+        wav = jnp.zeros((b, out_len), dtype=frames.dtype)
+        wav = wav.at[:, flat_idx].add(frames.reshape(b, -1))
+
+    wav = wav / jnp.asarray(np.maximum(env, window_eps))
 
     if center:
         half = n_fft // 2

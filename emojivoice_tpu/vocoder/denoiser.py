@@ -58,10 +58,19 @@ class Denoiser:
         self.bias_spec = probe(mel_input)
 
     def __call__(self, audio: jnp.ndarray, strength: float = 0.0005) -> jnp.ndarray:
-        """audio (B, L) → denoised audio (B, L') with L' = hop·(n_frames−1)."""
-        spec, phase = stft_magnitude_phase(
-            audio, self.filter_length, self.hop_length, self.win_length, center=True
-        )
-        spec = jnp.maximum(spec - self.bias_spec * strength, 0.0)
-        denoised = spec * jnp.cos(phase) + 1j * spec * jnp.sin(phase)
+        """audio (B, L) → denoised audio (B, L') with L' = hop·(n_frames−1).
+
+        Phase is preserved via the complex ratio: ``spec · (mag'/mag)`` is
+        identical to the reference's mag'·(cos ϕ + i·sin ϕ) with
+        ϕ = atan2(im, re) (denoiser.py:59-64) but replaces three
+        transcendental maps over the full spectrogram with one divide —
+        measurably cheaper in-graph on TPU.
+        """
+        from emojivoice_tpu.ops.stft import stft_complex
+
+        spec = stft_complex(audio, self.filter_length, self.hop_length, self.win_length,
+                            center=True)
+        mag = jnp.abs(spec)
+        mag_d = jnp.maximum(mag - self.bias_spec * strength, 0.0)
+        denoised = spec * (mag_d / jnp.maximum(mag, 1e-12))
         return istft(denoised, self.filter_length, self.hop_length, self.win_length, center=True)
