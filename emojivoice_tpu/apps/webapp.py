@@ -120,15 +120,17 @@ def make_handler(pipeline, defaults, engine=None):
                 length_scale=float(form.get("length_scale", defaults["length_scale"])),
             )
             spk = int(form.get("spk", defaults["spk"]))
+            # The HTML UI shows the mel image, so the form path opts into
+            # it; the JSON API keeps the lean audio-only payload (pcm16 on
+            # the wire, mel skipped) on BOTH the engine and direct paths.
+            want_mel = self.path == "/synthesise"
             if engine is not None:
                 # dynamic batching: concurrent HTTP threads coalesce into one
-                # padded-batch TPU dispatch (inference/serving.py).  The HTML
-                # UI shows the mel image, so the form path opts into it; the
-                # JSON API keeps the lean audio-only payload.
-                want_mel = self.path == "/synthesise"
+                # padded-batch TPU dispatch (inference/serving.py)
                 res = engine.synthesise(text, spk=spk, keep_mel=want_mel, **params)
             else:
-                res = pipeline.synthesise([text], spks=[spk], **params)[0]
+                res = pipeline.synthesise([text], spks=[spk], keep_mel=want_mel,
+                                          pcm16=True, **params)[0]
             if self.path == "/api/synthesise":
                 self._send(json.dumps({
                     "cleaned_text": res.cleaned_text,

@@ -38,7 +38,7 @@ def wav_info(path: str) -> Tuple[int, int]:
                 break
             cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
             if cid == b"fmt ":
-                fmt = f.read(size)
+                fmt = f.read(size + (size & 1))  # chunks are word-aligned
                 _, channels, rate = struct.unpack("<HHI", fmt[:8])
                 bits = struct.unpack("<H", fmt[14:16])[0]
             elif cid == b"data":

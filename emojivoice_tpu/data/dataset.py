@@ -56,6 +56,14 @@ class TextMelDataset:
     def __len__(self):
         return len(self.items)
 
+    def _encode_text(self, text: str):
+        """Single source of truth for the text path — item_lengths must
+        agree with __getitem__ exactly (multi-process shape agreement)."""
+        ids, cleaned = text_to_sequence(text, self.cfg.cleaners)
+        if self.cfg.add_blank:
+            ids = intersperse(ids, 0)
+        return ids, cleaned
+
     def item_lengths(self, idx: int) -> tuple[int, int]:
         """(text_ids_len, mel_frames) WITHOUT decoding audio — used by the
         batcher's multi-process mode to agree on bucket shapes globally
@@ -67,8 +75,7 @@ class TextMelDataset:
         resampler's business) or unparseable headers.  Pinned equal to
         __getitem__ in tests/test_dcn.py."""
         path, _, text = self.items[idx]
-        ids, _ = text_to_sequence(text, self.cfg.cleaners)
-        x_len = len(intersperse(ids, 0)) if self.cfg.add_blank else len(ids)
+        x_len = len(self._encode_text(text)[0])
         a = self.cfg.audio
         try:
             from emojivoice_tpu.data.audio_np import wav_info
@@ -85,9 +92,7 @@ class TextMelDataset:
 
     def __getitem__(self, idx: int) -> dict:
         path, spk, text = self.items[idx]
-        ids, cleaned = text_to_sequence(text, self.cfg.cleaners)
-        if self.cfg.add_blank:
-            ids = intersperse(ids, 0)
+        ids, cleaned = self._encode_text(text)
         x = np.asarray(ids, np.int32)
 
         wav, sr = load_wav(path)

@@ -13,9 +13,10 @@ batching is a straight 2× on throughput before any kernel work.
 - ``submit()`` enqueues a request and returns a ``concurrent.futures.Future``.
 - A worker thread collects requests for at most ``max_wait_ms`` after the
   first arrival (or until ``max_batch``), merges the ones that share a
-  compiled-program key (ODE steps, temperature, length_scale, language —
-  texts and speaker ids vary freely within a batch), and dispatches one
-  padded-batch ``synthesise`` call.
+  compiled-program key (ODE steps, temperature, length_scale,
+  denoiser_strength, language, keep_mel — texts and speaker ids vary
+  freely within a batch), and dispatches one padded-batch ``synthesise``
+  call.
 - Batch sizes are rounded up to the next entry of ``batch_buckets`` by
   repeating the final row, so the number of distinct XLA programs stays
   bounded (same static-shape discipline as the text/mel buckets; the pad
@@ -211,8 +212,8 @@ class BatchingEngine:
                 self._stats["errors"] += 1
             return
         dt_s = time.monotonic() - t0
-        for r, res in zip(batch, results):
-            r.future.set_result(res)
+        # update stats BEFORE resolving futures: callers read stats() as
+        # soon as result() unblocks, and must see this batch counted
         with self._lock:
             self._stats["batches"] += 1
             self._stats["batched_rows"] += n
@@ -220,6 +221,8 @@ class BatchingEngine:
             self._stats["batch_hist"][bucket] += 1
             self._stats["dispatch_s_sum"] += dt_s
             self._stats["wait_s_sum"] += sum(t0 - r.t_submit for r in batch)
+        for r, res in zip(batch, results):
+            r.future.set_result(res)
 
     def _run(self):
         while True:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from emojivoice_tpu.ops.stft import istft, stft_magnitude_phase
+from emojivoice_tpu.ops.stft import istft, stft_complex, stft_magnitude_phase
 
 
 class Denoiser:
@@ -66,8 +66,6 @@ class Denoiser:
         transcendental maps over the full spectrogram with one divide —
         measurably cheaper in-graph on TPU.
         """
-        from emojivoice_tpu.ops.stft import stft_complex
-
         spec = stft_complex(audio, self.filter_length, self.hop_length, self.win_length,
                             center=True)
         mag = jnp.abs(spec)

@@ -127,3 +127,26 @@ def test_mel_spectrogram_matches_torch_pipeline(rng):
 
     got = np.asarray(mel_spectrogram(jnp.asarray(y)))  # (B, T, 80)
     np.testing.assert_allclose(got.transpose(0, 2, 1), ref, atol=2e-3)
+
+
+@pytest.mark.parametrize("length,hop", [(4100, 256), (4096, 250), (4100, 250)])
+def test_stft_gather_fallback_matches_torch(rng, length, hop):
+    """Non-hop-divisible length or hop∤n_fft: the reshape fast paths don't
+    apply and the gather/scatter fallbacks must still match torch (they
+    remain reachable for arbitrary-length audio through the device mel
+    path)."""
+    y = rng.normal(size=(1, length)).astype(np.float32) * 0.1
+    ref = _torch_stft(y, 1024, hop, 1024, True).numpy()
+    got = np.asarray(stft_complex(jnp.asarray(y), 1024, hop, 1024, center=True))
+    np.testing.assert_allclose(got.transpose(0, 2, 1), ref, atol=2e-3)
+
+
+def test_istft_scatter_fallback_matches_torch(rng):
+    """hop ∤ n_fft → the overlap-add scatter fallback path."""
+    y = rng.normal(size=(1, 8000)).astype(np.float32) * 0.1
+    spec = _torch_stft(y, 1024, 250, 1024, True)
+    ref = torch.istft(spec, 1024, hop_length=250, win_length=1024,
+                      window=torch.hann_window(1024)).numpy()
+    got = np.asarray(istft(jnp.asarray(spec.numpy().transpose(0, 2, 1)), 1024, 250, 1024))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-3)
