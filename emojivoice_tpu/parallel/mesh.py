@@ -67,7 +67,14 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), batch
         )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    # single process: leave numpy arrays as-is — the jitted step's
+    # in_shardings places them AT DISPATCH, bundling the transfers with the
+    # call instead of one synchronous device_put round trip per array
+    # (remote-TPU tunnels make each eager put a full round trip).  Arrays
+    # already on device pass through device_put unchanged.
+    return jax.tree.map(
+        lambda x: x if isinstance(x, np.ndarray) else jax.device_put(x, sharding), batch
+    )
 
 
 def pad_batch_to_multiple(batch: dict, n: int) -> dict:

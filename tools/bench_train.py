@@ -60,10 +60,14 @@ def main() -> int:
         loss0 = float(m["loss"])  # blocks
         compile_s = (dt.datetime.now() - t0).total_seconds()
 
+        from emojivoice_tpu.utils.prng import host_prng_key
+
         times = []
         for i in range(args.iters):
             t0 = dt.datetime.now()
-            state, m = step(state, batch, jax.random.PRNGKey(i + 1))
+            # host-built key: an eager jax.random.PRNGKey here is its own
+            # synchronous tunnel round trip per step
+            state, m = step(state, batch, host_prng_key(i + 1))
             _ = float(m["loss"])
             times.append((dt.datetime.now() - t0).total_seconds())
         ms = float(np.median(times)) * 1e3
