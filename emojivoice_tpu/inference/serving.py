@@ -124,8 +124,13 @@ class BatchingEngine:
         key = (int(n_timesteps), float(temperature), float(length_scale),
                float(denoiser_strength), language, bool(keep_mel))
         fut: Future = Future()
-        self._queue.put(_Request(text=text, spk=int(spk), key=key, future=fut))
+        # closed-check + put under the lock: a submit racing close() must not
+        # slip a request behind the drain sentinel (its future would never
+        # resolve while close() returns)
         with self._lock:
+            if self._closed:
+                raise RuntimeError("engine is closed")
+            self._queue.put(_Request(text=text, spk=int(spk), key=key, future=fut))
             self._stats["requests"] += 1
         return fut
 
@@ -145,10 +150,11 @@ class BatchingEngine:
 
     def close(self, timeout: float = 30.0):
         """Drain the queue, stop the worker.  Idempotent."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)  # wake the worker
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)  # wake the worker (after any in-flight submit)
         self._worker.join(timeout)
 
     def __enter__(self):
@@ -207,7 +213,7 @@ class BatchingEngine:
                 for r in batch:
                     self._dispatch([r])
                 return
-            batch[0].future.set_exception(e)
+            self._resolve(batch[0].future, exc=e)
             with self._lock:
                 self._stats["errors"] += 1
             return
@@ -222,7 +228,19 @@ class BatchingEngine:
             self._stats["dispatch_s_sum"] += dt_s
             self._stats["wait_s_sum"] += sum(t0 - r.t_submit for r in batch)
         for r, res in zip(batch, results):
-            r.future.set_result(res)
+            self._resolve(r.future, result=res)
+
+    @staticmethod
+    def _resolve(future: Future, result=None, exc=None):
+        """Resolve a future, tolerating client-side Future.cancel(): a caller
+        that timed out and cancelled leaves the future CANCELLED, and a bare
+        set_result would raise InvalidStateError and kill the worker thread."""
+        if not future.set_running_or_notify_cancel():
+            return  # cancelled by the client — drop the result
+        if exc is not None:
+            future.set_exception(exc)
+        else:
+            future.set_result(result)
 
     def _run(self):
         while True:

@@ -235,7 +235,11 @@ def _run(args) -> int:
             return
         from emojivoice_tpu.inference.pipeline import SynthesisPipeline
 
-        pipe = SynthesisPipeline(model_cfg, state.params, cleaners=data_cfg.cleaners)
+        # after the first train_step the params are jax.Arrays committed to the
+        # global (possibly multi-process) mesh; a single-process jit over
+        # non-addressable arrays raises — render from host copies instead
+        host_params = jax.device_get(state.params)
+        pipe = SynthesisPipeline(model_cfg, host_params, cleaners=data_cfg.cleaners)
         for i in range(min(args.render_val_samples, len(valid_ds))):
             _, spk, text = valid_ds.items[i]
             res = pipe.synthesise([text], spks=[spk], n_timesteps=10, seed=0)[0]

@@ -96,6 +96,13 @@ def test_two_process_train_cli(filelists, tmp_path):
     p1 stays silent; both exit 0."""
     train, val = filelists
     out = tmp_path / "dcn_run"
+    # ephemeral coordinator port: a hardcoded one collides with parallel test
+    # runs or a leftover process, making jax.distributed.initialize flaky
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     runner = tmp_path / "runner.py"
     runner.write_text(textwrap.dedent(f"""
         import os, sys
@@ -115,7 +122,7 @@ def test_two_process_train_cli(filelists, tmp_path):
             "--val_every_steps", "0",
             "--ckpt_every_steps", "0",
             "--log_every", "1",
-            "--dcn_coordinator", "localhost:12427",
+            "--dcn_coordinator", "localhost:{port}",
             "--dcn_num_processes", "2",
             "--dcn_process_id", str(pid),
         ]))

@@ -101,6 +101,17 @@ def test_close_rejects_new_and_drains(pipe):
     eng.close()  # idempotent
 
 
+def test_cancelled_future_does_not_kill_worker(pipe):
+    """A caller that times out and cancels its future leaves it CANCELLED;
+    resolving it with a bare set_result would raise InvalidStateError and
+    end the worker thread — every later request would then hang forever."""
+    with BatchingEngine(pipe, max_batch=1, max_wait_ms=1, batch_buckets=(1,)) as eng:
+        fut = eng.submit("cancel me", n_timesteps=2)
+        fut.cancel()  # may race the dispatch; either way the worker survives
+        later = eng.submit("worker still alive", n_timesteps=2)
+        assert later.result(timeout=300).mel_length > 0
+
+
 def test_blocking_wrapper(pipe):
     with BatchingEngine(pipe, max_batch=1, max_wait_ms=1, batch_buckets=(1,)) as eng:
         res = eng.synthesise("one shot", n_timesteps=2)
