@@ -9,10 +9,15 @@ the model math).  This harness installs inert stand-ins for exactly those
 names so `matcha.models.components.text_encoder` and `matcha.utils.model`
 load and run their real forward passes.
 
-Scope note: the decoder/CFM chain additionally needs the real `diffusers`
-attention implementation (the math itself) — stubbing that would replace
-reference code with ours and defeat the point, so the U-Net keeps the
-condensed torch oracle (tests/torch_oracle.py) instead.
+The decoder/CFM chain additionally needs a small slice of `diffusers`
+(pinned 0.25.0 in the reference requirements, absent from this image):
+`Attention` with its default ``AttnProcessor2_0``, ``LoRACompatibleLinear``
+(an ``nn.Linear`` subclass), ``get_activation``, and the GELU-family
+projection modules.  That slice is small, publicly documented math, so
+``install_reference_stubs`` registers an executable stand-in
+(`_install_diffusers_stub`) — the structural wiring under test
+(`matcha/models/components/decoder.py`, `transformer.py`,
+`flow_matching.py`) is then entirely reference code.
 """
 
 from __future__ import annotations
@@ -51,6 +56,140 @@ def install_reference_stubs() -> None:
             open_dict=contextlib.nullcontext)
     _module("gdown")
     _module("wget")
+    _install_diffusers_stub()
+
+
+def _install_diffusers_stub() -> None:
+    """Executable stand-ins for the diffusers-0.25.0 slice the reference uses.
+
+    Written from the public diffusers documentation/API, NOT copied: the
+    `Attention` module is q/k/v linears (bias-free by default), a biased out
+    projection, heads split, and torch's scaled_dot_product_attention with the
+    prepared mask.  Two behaviors matter for parity and are reproduced
+    deliberately:
+
+    - ``prepare_attention_mask`` turns the (B, T) float 0/1 mask Matcha passes
+      into (B·heads, T) then (B, heads, 1, T), and sdpa treats a FLOAT mask as
+      an additive bias — the reference's additive-0/1 attention-mask quirk
+      (documented in emojivoice_tpu/models/decoder.py).
+    - ``LoRACompatibleLinear`` is exactly ``nn.Linear`` with an ignored
+      ``scale`` arg (the LoRA layer is None in eval usage), so state_dict
+      names/shapes match the real package.
+
+    The AdaLayerNorm variants and the conformer package are imported by the
+    reference but config-dead (``num_embeds_ada_norm=None``, block types are
+    all "transformer"), so their stand-ins refuse construction.
+    """
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    class LoRACompatibleLinear(tnn.Linear):
+        def forward(self, x, scale: float = 1.0):  # scale: LoRA-only, no-op here
+            return tnn.Linear.forward(self, x)
+
+    class Attention(tnn.Module):
+        """diffusers.models.attention_processor.Attention (AttnProcessor2_0 path)."""
+
+        def __init__(self, query_dim, cross_attention_dim=None, heads=8, dim_head=64,
+                     dropout=0.0, bias=False, upcast_attention=False, out_bias=True, **_):
+            super().__init__()
+            self.heads = heads
+            inner = dim_head * heads
+            kv_dim = cross_attention_dim if cross_attention_dim is not None else query_dim
+            self.to_q = LoRACompatibleLinear(query_dim, inner, bias=bias)
+            self.to_k = LoRACompatibleLinear(kv_dim, inner, bias=bias)
+            self.to_v = LoRACompatibleLinear(kv_dim, inner, bias=bias)
+            self.to_out = tnn.ModuleList(
+                [LoRACompatibleLinear(inner, query_dim, bias=out_bias), tnn.Dropout(dropout)]
+            )
+
+        def prepare_attention_mask(self, attention_mask, target_length, batch_size):
+            if attention_mask is None:
+                return None
+            if attention_mask.shape[-1] != target_length:
+                attention_mask = tF.pad(
+                    attention_mask, (0, target_length - attention_mask.shape[-1]), value=0.0
+                )
+            if attention_mask.shape[0] < batch_size * self.heads:
+                attention_mask = attention_mask.repeat_interleave(self.heads, dim=0)
+            return attention_mask
+
+        def forward(self, hidden_states, encoder_hidden_states=None, attention_mask=None, **_):
+            b, t, _c = hidden_states.shape
+            if attention_mask is not None:
+                attention_mask = self.prepare_attention_mask(attention_mask, t, b)
+                attention_mask = attention_mask.view(b, self.heads, -1, attention_mask.shape[-1])
+            q = self.to_q(hidden_states)
+            kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+            k, v = self.to_k(kv), self.to_v(kv)
+            head_dim = k.shape[-1] // self.heads
+            q = q.view(b, -1, self.heads, head_dim).transpose(1, 2)
+            k = k.view(b, -1, self.heads, head_dim).transpose(1, 2)
+            v = v.view(b, -1, self.heads, head_dim).transpose(1, 2)
+            # float attn_mask is ADDED to the scores (torch sdpa semantics)
+            out = tF.scaled_dot_product_attention(
+                q, k, v, attn_mask=attention_mask, dropout_p=0.0, is_causal=False
+            )
+            out = out.transpose(1, 2).reshape(b, -1, self.heads * head_dim)
+            return self.to_out[1](self.to_out[0](out))
+
+    class GELU(tnn.Module):
+        def __init__(self, dim_in, dim_out, approximate="none"):
+            super().__init__()
+            self.proj = tnn.Linear(dim_in, dim_out)
+            self.approximate = approximate
+
+        def forward(self, x):
+            return tF.gelu(self.proj(x), approximate=self.approximate)
+
+    class GEGLU(tnn.Module):
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.proj = LoRACompatibleLinear(dim_in, dim_out * 2)
+
+        def forward(self, x):
+            h, gate = self.proj(x).chunk(2, dim=-1)
+            return h * tF.gelu(gate)
+
+    class ApproximateGELU(tnn.Module):
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.proj = tnn.Linear(dim_in, dim_out)
+
+        def forward(self, x):
+            x = self.proj(x)
+            return x * torch.sigmoid(1.702 * x)
+
+    class _AdaNormUnused(tnn.Module):
+        def __init__(self, *a, **k):
+            raise NotImplementedError("AdaLayerNorm paths are config-dead in Matcha-TTS")
+
+    _acts = {"silu": tnn.SiLU, "swish": tnn.SiLU, "mish": tnn.Mish,
+             "gelu": tnn.GELU, "relu": tnn.ReLU}
+
+    def get_activation(name):
+        return _acts[name]()
+
+    diffusers = _module("diffusers")
+    models = _module("diffusers.models")
+    diffusers.models = models
+    models.attention = _module(
+        "diffusers.models.attention", GEGLU=GEGLU, GELU=GELU, ApproximateGELU=ApproximateGELU,
+        AdaLayerNorm=_AdaNormUnused, AdaLayerNormZero=_AdaNormUnused,
+    )
+    models.attention_processor = _module("diffusers.models.attention_processor", Attention=Attention)
+    models.lora = _module("diffusers.models.lora", LoRACompatibleLinear=LoRACompatibleLinear)
+    models.activations = _module("diffusers.models.activations", get_activation=get_activation)
+    utils = _module("diffusers.utils")
+    diffusers.utils = utils
+    utils.torch_utils = _module("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda cls: cls)
+
+    class ConformerBlock(tnn.Module):  # subclassed by ConformerWrapper, never built
+        def __init__(self, **kwargs):
+            raise NotImplementedError("conformer blocks are config-dead (all block types 'transformer')")
+
+    _module("conformer", ConformerBlock=ConformerBlock)
 
 
 def import_reference(modname: str):
