@@ -18,7 +18,7 @@ import numpy as np
 
 def export(ckpt_dir: str, output: str, step: int = None) -> Path:
     from emojivoice_tpu.io.checkpoint import CheckpointManager
-    from emojivoice_tpu.io.torch_ckpt import export_matcha_state_dict
+    from emojivoice_tpu.io.torch_ckpt import export_matcha_hparams, export_matcha_state_dict
 
     mgr = CheckpointManager(ckpt_dir)
     cfg = mgr.load_config()
@@ -32,7 +32,10 @@ def export(ckpt_dir: str, output: str, step: int = None) -> Path:
         import torch  # noqa: PLC0415
 
         torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v).copy())
-                                   for k, v in sd.items()}}, out)
+                                   for k, v in sd.items()},
+                    # reference-shaped architecture record (plain dicts —
+                    # readable by extract_hyper_parameters and torch-side code)
+                    "hyper_parameters": export_matcha_hparams(cfg.model)}, out)
         print(f"wrote torch checkpoint: {out} ({len(sd)} tensors)")
     except ImportError:
         out = out.with_suffix(".npz")

@@ -12,8 +12,10 @@ cli.py:84-107).  This module:
   ``ConvTranspose1d (in,out,k) → (k,in,out)``;
 * folds HiFi-GAN weight norm into plain kernels (the reference does the
   same at load via remove_weight_norm, hifigan/models.py:199-206);
-* infers the ModelConfig from tensor shapes (Lightning hyper_parameters
-  need omegaconf to unpickle; shapes are authoritative anyway).
+* recovers the ModelConfig from tensor shapes PLUS the checkpoint's own
+  Lightning ``hyper_parameters`` — read omegaconf-free by walking the
+  pickled state of the stand-in objects (extract_hyper_parameters), with
+  shape cross-checks for every dimension both sources determine.
 """
 
 from __future__ import annotations
@@ -72,11 +74,71 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# Lightning hyper_parameters (omegaconf-free)
+# ---------------------------------------------------------------------------
+
+def _plain_hparams(obj: Any) -> Any:
+    """Recursively strip omegaconf/Lightning wrappers into plain python.
+
+    The zip-pickle reader materializes absent classes as stand-ins carrying
+    their pickled payload; the omegaconf state layout is walked here:
+    DictConfig/ListConfig keep their children under ``_content``, ValueNode
+    leaves keep theirs under ``_val`` (``"???"`` = MISSING → None), and
+    Lightning's AttributeDict is a dict subclass whose items the reader
+    collects into ``dict_items``."""
+    if isinstance(obj, dict):
+        return {k: _plain_hparams(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain_hparams(v) for v in obj]
+    st = getattr(obj, "state", None)
+    if isinstance(st, dict):
+        if "_content" in st:
+            return _plain_hparams(st["_content"])
+        if "_val" in st:
+            v = st["_val"]
+            return None if (isinstance(v, str) and v == "???") else _plain_hparams(v)
+        return {k: _plain_hparams(v) for k, v in st.items() if not str(k).startswith("_")}
+    items = getattr(obj, "dict_items", None)
+    if isinstance(items, dict):
+        return {k: _plain_hparams(v) for k, v in items.items()}
+    items = getattr(obj, "list_items", None)
+    if isinstance(items, list):
+        return [_plain_hparams(v) for v in items]
+    return obj
+
+
+def extract_hyper_parameters(ckpt_obj: Any) -> Optional[dict]:
+    """Plain-python view of a Lightning checkpoint's embedded hparams.
+
+    The reference saves its __init__ kwargs via ``save_hyperparameters``
+    (matcha_tts.py:45); hydra-composed values pickle as omegaconf objects,
+    readable without omegaconf via the stand-in walk above.  Returns None
+    when the checkpoint carries no hyper_parameters (raw state-dict dumps)."""
+    if not isinstance(ckpt_obj, dict):
+        return None
+    hp = ckpt_obj.get("hyper_parameters", ckpt_obj.get("hparams"))
+    if hp is None:
+        return None
+    plain = _plain_hparams(hp)
+    return plain if isinstance(plain, dict) and plain else None
+
+
+# ---------------------------------------------------------------------------
 # MatchaTTS
 # ---------------------------------------------------------------------------
 
-def infer_model_config_from_state_dict(sd: Dict[str, np.ndarray]) -> cfglib.ModelConfig:
-    """Re-derive the architecture from tensor shapes (checkpoint-authoritative)."""
+def infer_model_config_from_state_dict(
+    sd: Dict[str, np.ndarray], hparams: Optional[dict] = None
+) -> cfglib.ModelConfig:
+    """Re-derive the architecture from tensor shapes, refined by the
+    checkpoint's own hyper_parameters when available.
+
+    Shapes are authoritative for every dimension they determine; hparams
+    fill in what shapes cannot see — the encoder head count (q/k/v pack
+    into one channel axis), the decoder heads×head_dim split, dropout
+    rates, sigma_min, out_size, prior_loss — and are cross-checked against
+    the shapes for the dimensions both determine (ValueError on conflict:
+    a wrong split would silently scramble attention)."""
     n_vocab, n_channels = sd["encoder.emb.weight"].shape
     n_spks, spk_emb_dim = sd["spk_emb.weight"].shape if "spk_emb.weight" in sd else (1, 64)
     n_feats = sd["encoder.proj_m.weight"].shape[0]
@@ -95,17 +157,56 @@ def infer_model_config_from_state_dict(sd: Dict[str, np.ndarray]) -> cfglib.Mode
     )
     num_mid = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("decoder.estimator.mid_blocks."))
     head_dim_times_heads = sd["decoder.estimator.down_blocks.0.1.0.attn1.to_q.weight"].shape[0]
-    # reference default: head_dim 64 (configs/model/decoder/default.yaml)
-    attention_head_dim = 64 if head_dim_times_heads % 64 == 0 else head_dim_times_heads
-    num_heads = head_dim_times_heads // attention_head_dim
     n_blocks = 1 + max(
         int(k.split(".")[5]) for k in sd if k.startswith("decoder.estimator.down_blocks.0.1.")
     )
+
+    hp = hparams or {}
+    enc_hp = (hp.get("encoder") or {}).get("encoder_params") or {}
+    dec_hp = hp.get("decoder") or {}
+    cfm_hp = hp.get("cfm") or {}
+
+    # encoder heads: invisible to shapes (q/k/v pack into one channel axis)
+    n_heads = int(enc_hp.get("n_heads") or 2)
+    if n_channels % n_heads != 0:
+        raise ValueError(
+            f"hyper_parameters say n_heads={n_heads} but encoder channels {n_channels} do not divide"
+        )
+
+    # decoder heads×head_dim split: hparams are the ground truth, the
+    # to_q row count is the cross-check; default-config fallback otherwise
+    if "attention_head_dim" in dec_hp or "num_heads" in dec_hp:
+        attention_head_dim = int(dec_hp.get("attention_head_dim") or 64)
+        num_heads = int(dec_hp.get("num_heads") or head_dim_times_heads // attention_head_dim)
+        if num_heads * attention_head_dim != head_dim_times_heads:
+            raise ValueError(
+                f"hyper_parameters say {num_heads} heads × {attention_head_dim} dims but "
+                f"attn1.to_q has {head_dim_times_heads} rows"
+            )
+    else:
+        # reference default: head_dim 64 (configs/model/decoder/default.yaml)
+        attention_head_dim = 64 if head_dim_times_heads % 64 == 0 else head_dim_times_heads
+        num_heads = head_dim_times_heads // attention_head_dim
+
+    # hparams-refined dims that shapes also see: cross-check, do not trust blindly
+    for name, shape_val in (("n_vocab", n_vocab), ("n_spks", n_spks), ("n_feats", n_feats)):
+        if hp.get(name) is not None and int(hp[name]) != shape_val:
+            # the reference itself has one known mismatch: the symbol table has
+            # 198 rows against n_vocab=178 (text/symbols.py quirk) — the
+            # embedding row count is what the checkpoint actually contains
+            if name == "n_vocab":
+                continue
+            raise ValueError(f"hyper_parameters {name}={hp[name]} vs checkpoint shape {shape_val}")
 
     stats = cfglib.DataStatistics(
         mel_mean=float(sd.get("mel_mean", np.zeros(()))),
         mel_std=float(sd.get("mel_std", np.ones(()))),
     )
+    if not ("mel_mean" in sd) and isinstance(hp.get("data_statistics"), dict):
+        ds = hp["data_statistics"]
+        if ds.get("mel_mean") is not None:
+            stats = cfglib.DataStatistics(mel_mean=float(ds["mel_mean"]), mel_std=float(ds["mel_std"]))
+    out_size = hp.get("out_size")
     return cfglib.ModelConfig(
         n_vocab=n_vocab,
         n_spks=n_spks,
@@ -115,22 +216,29 @@ def infer_model_config_from_state_dict(sd: Dict[str, np.ndarray]) -> cfglib.Mode
             n_feats=n_feats,
             n_channels=n_channels,
             filter_channels=filter_channels,
-            n_heads=2,
+            n_heads=n_heads,
             n_layers=n_layers,
             kernel_size=enc_kernel,
+            p_dropout=float(enc_hp.get("p_dropout") or 0.1),
             prenet=prenet,
         ),
         duration_predictor=cfglib.DurationPredictorConfig(
-            filter_channels_dp=filter_channels_dp, kernel_size=dp_kernel
+            filter_channels_dp=filter_channels_dp, kernel_size=dp_kernel,
+            p_dropout=float(enc_hp.get("p_dropout") or 0.1),
         ),
         decoder=cfglib.DecoderConfig(
             channels=channels,
+            dropout=float(dec_hp.get("dropout") or 0.05),
             attention_head_dim=attention_head_dim,
             n_blocks=n_blocks,
             num_mid_blocks=num_mid,
             num_heads=num_heads,
         ),
+        cfm=cfglib.CFMConfig(sigma_min=float(cfm_hp.get("sigma_min") or 1e-4)),
         data_statistics=stats,
+        out_size=int(out_size) if out_size is not None else None,
+        prior_loss=bool(hp.get("prior_loss", True)),
+        use_precomputed_durations=bool(hp.get("use_precomputed_durations", False)),
     )
 
 
@@ -282,8 +390,13 @@ def _convert_estimator(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: 
 
 
 def load_matcha_params(path: str) -> Tuple[dict, cfglib.ModelConfig]:
-    sd = load_torch_state_dict(path)
-    cfg = infer_model_config_from_state_dict(sd)
+    obj = load_torch_file(path)
+    hparams = extract_hyper_parameters(obj)
+    if isinstance(obj, dict):
+        obj = obj.get("state_dict", obj)
+    flat = flatten_state_dict(obj)
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in flat.items() if isinstance(v, np.ndarray)}
+    cfg = infer_model_config_from_state_dict(sd, hparams=hparams)
     return convert_matcha_state_dict(sd, cfg), cfg
 
 
@@ -516,3 +629,57 @@ def export_matcha_state_dict(params: dict, cfg: cfglib.ModelConfig) -> Dict[str,
     sd["mel_mean"] = np.asarray(cfg.data_statistics.mel_mean, np.float32)
     sd["mel_std"] = np.asarray(cfg.data_statistics.mel_std, np.float32)
     return sd
+
+
+def export_matcha_hparams(cfg: cfglib.ModelConfig) -> dict:
+    """Reference-structured hyper_parameters block (plain dicts).
+
+    Mirrors what the reference's ``save_hyperparameters`` embeds
+    (matcha_tts.py:26-45 init kwargs, hydra tree shape from
+    configs/model/matcha.yaml + encoder/decoder/cfm defaults), so an
+    exported checkpoint documents its own architecture — readable both by
+    ``extract_hyper_parameters`` here and by reference-side tooling."""
+    return {
+        "n_vocab": cfg.n_vocab,
+        "n_spks": cfg.n_spks,
+        "spk_emb_dim": cfg.spk_emb_dim,
+        "n_feats": cfg.n_feats,
+        "encoder": {
+            "encoder_type": "RoPE Encoder",
+            "encoder_params": {
+                "n_feats": cfg.n_feats,
+                "n_channels": cfg.encoder.n_channels,
+                "filter_channels": cfg.encoder.filter_channels,
+                "filter_channels_dp": cfg.duration_predictor.filter_channels_dp,
+                "n_heads": cfg.encoder.n_heads,
+                "n_layers": cfg.encoder.n_layers,
+                "kernel_size": cfg.encoder.kernel_size,
+                "p_dropout": cfg.encoder.p_dropout,
+                "spk_emb_dim": cfg.spk_emb_dim,
+                "n_spks": cfg.n_spks,
+                "prenet": cfg.encoder.prenet,
+            },
+            "duration_predictor_params": {
+                "filter_channels_dp": cfg.duration_predictor.filter_channels_dp,
+                "kernel_size": cfg.duration_predictor.kernel_size,
+                "p_dropout": cfg.duration_predictor.p_dropout,
+            },
+        },
+        "decoder": {
+            "channels": list(cfg.decoder.channels),
+            "dropout": cfg.decoder.dropout,
+            "attention_head_dim": cfg.decoder.attention_head_dim,
+            "n_blocks": cfg.decoder.n_blocks,
+            "num_mid_blocks": cfg.decoder.num_mid_blocks,
+            "num_heads": cfg.decoder.num_heads,
+            "act_fn": cfg.decoder.act_fn,
+        },
+        "cfm": {"name": "CFM", "solver": cfg.cfm.solver, "sigma_min": cfg.cfm.sigma_min},
+        "data_statistics": {
+            "mel_mean": cfg.data_statistics.mel_mean,
+            "mel_std": cfg.data_statistics.mel_std,
+        },
+        "out_size": cfg.out_size,
+        "prior_loss": cfg.prior_loss,
+        "use_precomputed_durations": cfg.use_precomputed_durations,
+    }

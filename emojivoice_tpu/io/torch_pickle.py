@@ -59,7 +59,12 @@ def _rebuild_tensor_v2(storage: _Storage, storage_offset, size, stride, requires
 
 
 class _FakeClass:
-    """Stand-in for torch classes we don't need to materialize."""
+    """Stand-in for classes absent from this image (lightning, omegaconf …).
+
+    Captures everything the pickle stream carries — ``__setstate__`` state,
+    dict-subclass items (AttributeDict), list-subclass items — so callers
+    like io.torch_ckpt.extract_hyper_parameters can walk the data without
+    the original package."""
 
     def __init__(self, *args, **kwargs):
         self.args = args
@@ -69,6 +74,16 @@ class _FakeClass:
 
     def __setstate__(self, state):
         self.state = state
+
+    # NEWOBJ restores skip __init__, so the item stores are lazy
+    def __setitem__(self, k, v):  # dict-subclass pickles: obj[k] = v
+        self.__dict__.setdefault("dict_items", {})[k] = v
+
+    def append(self, v):  # list-subclass pickles: obj.append(v)
+        self.__dict__.setdefault("list_items", []).append(v)
+
+    def extend(self, vs):
+        self.__dict__.setdefault("list_items", []).extend(vs)
 
 
 def _fake_module_factory(module: str, name: str):

@@ -121,3 +121,146 @@ def test_orbax_roundtrip(tmp_path):
     cfg = mgr.load_config()
     assert cfg.data.name == "ljspeech"
     mgr.close()
+
+
+# ---------------------------------------------------------------------------
+# Lightning hyper_parameters parsing (omegaconf-free)
+# ---------------------------------------------------------------------------
+
+def _omegaconf_like_wrapper(monkeypatch):
+    """Classes that pickle under omegaconf's real module paths with its real
+    state layout (DictConfig/ListConfig `_content`, ValueNode `_val`), then
+    vanish from sys.modules before load — exactly what reading a genuine
+    hydra-composed Lightning checkpoint in this omegaconf-free image looks
+    like."""
+    import sys
+    import types as _types
+
+    class DictConfig:  # noqa: D401
+        pass
+
+    class ListConfig:
+        pass
+
+    class AnyNode:
+        pass
+
+    DictConfig.__module__, DictConfig.__qualname__ = "omegaconf.dictconfig", "DictConfig"
+    ListConfig.__module__, ListConfig.__qualname__ = "omegaconf.listconfig", "ListConfig"
+    AnyNode.__module__, AnyNode.__qualname__ = "omegaconf.nodes", "AnyNode"
+    mods = {
+        "omegaconf.dictconfig": ("DictConfig", DictConfig),
+        "omegaconf.listconfig": ("ListConfig", ListConfig),
+        "omegaconf.nodes": ("AnyNode", AnyNode),
+    }
+    created = []
+    if "omegaconf" not in sys.modules:
+        monkeypatch.setitem(sys.modules, "omegaconf", _types.ModuleType("omegaconf"))
+    for name, (attr, cls) in mods.items():
+        mod = _types.ModuleType(name)
+        setattr(mod, attr, cls)
+        monkeypatch.setitem(sys.modules, name, mod)
+        created.append(name)
+
+    def wrap(v):
+        if isinstance(v, dict):
+            o = DictConfig.__new__(DictConfig)
+            o.__dict__ = {"_metadata": None, "_parent": None,
+                          "_content": {k: wrap(x) for k, x in v.items()}}
+            return o
+        if isinstance(v, (list, tuple)):
+            o = ListConfig.__new__(ListConfig)
+            o.__dict__ = {"_metadata": None, "_parent": None, "_content": [wrap(x) for x in v]}
+            return o
+        o = AnyNode.__new__(AnyNode)
+        o.__dict__ = {"_parent": None, "_val": "???" if v is None else v}
+        return o
+
+    def forget():
+        import sys as _s
+
+        for name in created + ["omegaconf"]:
+            _s.modules.pop(name, None)
+
+    return wrap, forget
+
+
+def test_hparams_from_omegaconf_pickle_beats_shape_guesses(tmp_path, monkeypatch):
+    """A 4-head encoder with a 4×4 decoder head split is invisible to shape
+    inference (to_q has 16 rows — the %64 heuristic reads that as one 16-dim
+    head, and encoder heads don't show in shapes at all).  The checkpoint's
+    own hyper_parameters, pickled as omegaconf objects, must win."""
+    import dataclasses
+
+    from emojivoice_tpu.config import DecoderConfig, EncoderConfig
+    from emojivoice_tpu.io.torch_ckpt import export_matcha_hparams, load_matcha_params
+
+    cfg = tiny_cfg()
+    # n_channels 24 (+8 spk concat = 32) keeps the per-head/RoPE split even at 4 heads
+    cfg = dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(cfg.encoder, n_heads=4, n_channels=24),
+        decoder=dataclasses.replace(cfg.decoder, attention_head_dim=4, num_heads=4),
+    )
+    _, params = _init_tiny(cfg)
+    sd = export_matcha_state_dict(jax.device_get(params), cfg)
+    sd.pop("mel_mean")
+    sd.pop("mel_std")
+
+    wrap, forget = _omegaconf_like_wrapper(monkeypatch)
+    path = tmp_path / "fourhead.ckpt"
+    torch.save(
+        {"state_dict": {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+         "hyper_parameters": wrap(export_matcha_hparams(cfg))},
+        path,
+    )
+    forget()  # omegaconf absent at read time, like the runtime image
+
+    _, loaded_cfg = load_matcha_params(str(path))
+    assert loaded_cfg.encoder.n_heads == 4
+    assert loaded_cfg.decoder.attention_head_dim == 4
+    assert loaded_cfg.decoder.num_heads == 4
+    assert loaded_cfg.data_statistics.mel_mean == cfg.data_statistics.mel_mean
+    # and the converted params round-trip numerically
+    params2, _ = load_matcha_params(str(path))
+    for a, b in zip(jax.tree.leaves(jax.device_get(params)), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
+
+
+def test_hparams_shape_mismatch_raises():
+    cfg = tiny_cfg()
+    _, params = _init_tiny(cfg)
+    sd = export_matcha_state_dict(jax.device_get(params), cfg)
+    bad = {"decoder": {"num_heads": 3, "attention_head_dim": 4}}  # 12 ≠ to_q rows
+    import pytest
+
+    with pytest.raises(ValueError, match="heads"):
+        infer_model_config_from_state_dict(sd, hparams=bad)
+
+
+def test_hparams_plain_dict_and_missing():
+    from emojivoice_tpu.io.torch_ckpt import extract_hyper_parameters
+
+    # exported-by-us checkpoints carry plain dicts
+    hp = extract_hyper_parameters({"hyper_parameters": {"n_feats": 80, "out_size": None}})
+    assert hp == {"n_feats": 80, "out_size": None}
+    # raw state-dict dumps have none
+    assert extract_hyper_parameters({"state_dict": {}}) is None
+    assert extract_hyper_parameters("not a dict") is None
+
+
+def test_export_torch_embeds_readable_hparams(tmp_path):
+    """io.export_torch writes hyper_parameters that load_matcha_params reads
+    back — an exported checkpoint documents its own architecture."""
+    from emojivoice_tpu.io.torch_ckpt import export_matcha_hparams, extract_hyper_parameters
+
+    cfg = tiny_cfg()
+    _, params = _init_tiny(cfg)
+    sd = export_matcha_state_dict(jax.device_get(params), cfg)
+    path = tmp_path / "with_hparams.ckpt"
+    torch.save({"state_dict": {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()},
+                "hyper_parameters": export_matcha_hparams(cfg)}, path)
+    hp = extract_hyper_parameters(load_torch_file(str(path)))
+    assert hp["encoder"]["encoder_params"]["n_heads"] == cfg.encoder.n_heads
+    assert hp["decoder"]["num_heads"] == cfg.decoder.num_heads
+    assert hp["cfm"]["sigma_min"] == cfg.cfm.sigma_min
