@@ -86,13 +86,23 @@ class _FakeClass:
         self.__dict__.setdefault("list_items", []).extend(vs)
 
 
+class _ODict(dict):
+    """OrderedDict stand-in: a real nn.Module.state_dict() pickles with
+    instance state (the `_metadata` attribute), which plain `dict` cannot
+    BUILD — a dict subclass has a __dict__ and accepts it."""
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+
+
 def _fake_module_factory(module: str, name: str):
     if name == "_rebuild_tensor_v2":
         return _rebuild_tensor_v2
     if name == "_rebuild_parameter":
         return lambda data, requires_grad=True, hooks=None: data
     if module == "collections" and name == "OrderedDict":
-        return dict
+        return _ODict
     if module == "torch" and name.endswith("Storage"):
         cls = type(name, (), {"np_dtype": _DTYPE_MAP.get(name, np.float32), "_is_storage_type": True})
         return cls

@@ -39,13 +39,42 @@ def _module(name: str, **attrs) -> types.ModuleType:
 
 def install_reference_stubs() -> None:
     """Idempotently register import-time stand-ins (see module docstring)."""
+    import torch as _torch
+
     identity = lambda fn: fn  # noqa: E731 — rank_zero_only decorator shape
 
+    class _LightningModule(_torch.nn.Module):
+        """Just enough of lightning.LightningModule for the reference
+        MatchaTTS to __init__ and run inference: a plain nn.Module whose
+        save_hyperparameters is a no-op (we instantiate with explicit
+        kwargs instead of a ckpt re-load)."""
+
+        def save_hyperparameters(self, *a, **k):
+            pass
+
     lightning = _module("lightning", Callback=object)
+    lightning.LightningModule = _LightningModule
     pytorch = _module("lightning.pytorch")
     lightning.pytorch = pytorch
     pytorch.loggers = _module("lightning.pytorch.loggers", Logger=object)
     pytorch.utilities = _module("lightning.pytorch.utilities", rank_zero_only=identity)
+    pytorch.utilities.grad_norm = lambda module, norm_type=2: {}
+
+    def _numpy_maximum_path(value, mask):
+        """Stand-in for the reference's UNBUILT Cython MAS extension
+        (matcha/utils/monotonic_align/core.pyx — .pyx only, no compiled
+        module in the snapshot): same contract, computed by our
+        oracle-pinned numpy DP."""
+        import numpy as _np
+
+        from emojivoice_tpu.ops.mas import maximum_path_numpy
+
+        v = (value * mask).detach().cpu().numpy().astype(_np.float32)
+        m = mask.detach().cpu().numpy().astype(_np.float32)
+        path = maximum_path_numpy(v, m)
+        return _torch.from_numpy(_np.asarray(path)).to(device=value.device, dtype=value.dtype)
+
+    _install_monotonic_align_finder(_numpy_maximum_path)
 
     hydra = _module("hydra")
     core = _module("hydra.core")
@@ -57,6 +86,37 @@ def install_reference_stubs() -> None:
     _module("gdown")
     _module("wget")
     _install_diffusers_stub()
+
+
+def _install_monotonic_align_finder(impl) -> None:
+    """Meta-path finder shadowing matcha.utils.monotonic_align.
+
+    A plain sys.modules pre-registration breaks `import a.b.c as x` (the
+    parent chain never imports, so the attribute binding fails); a finder
+    participates in normal import machinery and wins over the on-disk
+    package (whose __init__ would import the unbuilt Cython core)."""
+    import importlib.abc
+    import importlib.util
+
+    NAME = "matcha.utils.monotonic_align"
+
+    class _MonoFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name == NAME or name == NAME + ".core":
+                return importlib.util.spec_from_loader(name, self, is_package=(name == NAME))
+            return None
+
+        def create_module(self, spec):
+            return None
+
+        def exec_module(self, module):
+            if module.__name__ == NAME:
+                module.maximum_path = impl
+
+    if not any(isinstance(f, _MonoFinder) or getattr(f, "_mono_stub", False) for f in sys.meta_path):
+        finder = _MonoFinder()
+        finder._mono_stub = True
+        sys.meta_path.insert(0, finder)
 
 
 def _install_diffusers_stub() -> None:
@@ -200,3 +260,55 @@ def import_reference(modname: str):
     import importlib
 
     return importlib.import_module(modname)
+
+
+def build_reference_matcha(hparams: dict, state_dict: dict):
+    """Instantiate the REAL reference MatchaTTS from plain hparams + a flat
+    numpy state dict (reference: matcha_tts.py:26-76 init contract).
+
+    Used by tools/parity_report.py: given any reference Lightning checkpoint
+    (Paige/Olivia/Zach when reachable, or an export of ours), this builds the
+    reference-side model for output comparison.  The dims that tensors
+    determine (n_vocab, n_feats, spk_emb_dim) are taken from the state dict
+    itself; hparams supply the rest."""
+    import types
+
+    import numpy as np
+    import torch
+
+    m = import_reference("matcha.models.matcha_tts")
+    enc_hp = hparams["encoder"]
+    n_vocab = int(state_dict["encoder.emb.weight"].shape[0])
+    n_feats = int(state_dict["encoder.proj_m.weight"].shape[0])
+    if "spk_emb.weight" in state_dict:
+        n_spks, spk_emb_dim = (int(s) for s in state_dict["spk_emb.weight"].shape)
+    else:
+        n_spks, spk_emb_dim = 1, int(hparams.get("spk_emb_dim") or 64)
+    encoder = types.SimpleNamespace(
+        encoder_type=enc_hp.get("encoder_type", "RoPE Encoder"),
+        encoder_params=types.SimpleNamespace(**enc_hp["encoder_params"]),
+        duration_predictor_params=types.SimpleNamespace(**enc_hp["duration_predictor_params"]),
+    )
+    model = m.MatchaTTS(
+        n_vocab=n_vocab,
+        n_spks=n_spks,
+        spk_emb_dim=spk_emb_dim,
+        n_feats=n_feats,
+        encoder=encoder,
+        decoder=dict(hparams["decoder"]),
+        cfm=types.SimpleNamespace(**hparams["cfm"]),
+        data_statistics=dict(hparams.get("data_statistics") or {"mel_mean": 0.0, "mel_std": 1.0}),
+        out_size=hparams.get("out_size"),
+        prior_loss=bool(hparams.get("prior_loss", True)),
+        use_precomputed_durations=bool(hparams.get("use_precomputed_durations", False)),
+    )
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in state_dict.items()}, strict=False
+    )
+    stats_only = {"mel_mean", "mel_std"}
+    bad_missing = [k for k in missing if k not in stats_only]
+    bad_unexpected = [k for k in unexpected if k not in stats_only]
+    if bad_missing or bad_unexpected:
+        raise ValueError(f"state dict mismatch: missing={bad_missing} unexpected={bad_unexpected}")
+    model.eval()
+    return model
