@@ -119,6 +119,10 @@ def make_handler(pipeline, defaults, engine=None):
                 temperature=float(form.get("temperature", defaults["temperature"])),
                 length_scale=float(form.get("length_scale", defaults["length_scale"])),
             )
+            # optional reproducibility: the same seed replays the same noise
+            # stream on both the batching-engine and direct paths
+            if form.get("seed") not in (None, ""):
+                params["seed"] = int(form["seed"])
             spk = int(form.get("spk", defaults["spk"]))
             # The HTML UI shows the mel image, so the form path opts into
             # it; the JSON API keeps the lean audio-only payload (pcm16 on

@@ -61,9 +61,15 @@ def _load_pipeline(args):
         if not args.random_init:
             print("No --checkpoint_path given; using --random_init weights", file=sys.stderr)
         return SynthesisPipeline.from_random(cleaners=cleaners)
-    if os.path.isdir(args.checkpoint_path):  # orbax dir from emojivoice-train
-        return SynthesisPipeline.from_orbax(args.checkpoint_path, args.vocoder, cleaners=cleaners)
-    return SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder, cleaners=cleaners)
+    # bare released-asset names resolve via the user cache dir (EMOJIVOICE_HOME
+    # analog of the reference's MATCHA_HOME auto-download, cli.py:76-81)
+    from emojivoice_tpu.utils.assets import resolve_model
+
+    ckpt = resolve_model(args.checkpoint_path, "checkpoint")
+    vocoder = resolve_model(args.vocoder, "vocoder")
+    if os.path.isdir(ckpt):  # orbax dir from emojivoice-train
+        return SynthesisPipeline.from_orbax(ckpt, vocoder, cleaners=cleaners)
+    return SynthesisPipeline.from_torch_checkpoints(ckpt, vocoder, cleaners=cleaners)
 
 
 def save_wav(path: str, wav: np.ndarray, sr: int = 22050):

@@ -33,12 +33,13 @@ def export_synthesis(
     with_vocoder: bool = True,
     denoiser_strength: float = 0.00025,
     platforms: Optional[list] = None,
+    batch: int = 1,
 ) -> Path:
     """Serialize the fused text→wav program with weights baked in.
 
-    Exported signature: f(x (1, text_bucket) i32, x_lengths (1,) i32,
-    spks (1,) i32, length_scale f32, temperature f32, rng_seed (2,) u32)
-    → (wav (1, mel_bucket·ups) f32 | mel, mel_lengths).
+    Exported signature: f(x (B, text_bucket) i32, x_lengths (B,) i32,
+    spks (B,) i32, length_scale f32, temperature f32, rng_seed (2,) u32)
+    → (wav (B, mel_bucket·ups) f32 | mel, mel_lengths).
     """
     model = pipeline.model
     params = pipeline.params
@@ -46,11 +47,14 @@ def export_synthesis(
     voc_params = pipeline.vocoder_params
     denoiser = pipeline.denoiser if with_vocoder else None
 
+    n_spks = pipeline.model_cfg.n_spks
+
     def fn(x, x_lengths, spks, length_scale, temperature, rng_key):
         from emojivoice_tpu.models import MatchaTTS
 
         key = jax.random.wrap_key_data(rng_key, impl="threefry2x32")
-        out = model.apply(params, x, x_lengths, mel_bucket, n_timesteps, temperature, spks,
+        out = model.apply(params, x, x_lengths, mel_bucket, n_timesteps, temperature,
+                          spks if n_spks > 1 else None,
                           length_scale, key, method=MatchaTTS.synthesise)
         if voc is not None:
             wav = voc.apply(voc_params, out["mel"])
@@ -60,9 +64,9 @@ def export_synthesis(
         return out["mel"], out["mel_lengths"]
 
     args = (
-        jax.ShapeDtypeStruct((1, text_bucket), jnp.int32),
-        jax.ShapeDtypeStruct((1,), jnp.int32),
-        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((batch, text_bucket), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
         jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((2,), jnp.uint32),
@@ -74,6 +78,7 @@ def export_synthesis(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.with_suffix(".stablehlo").write_bytes(blob)
     meta = {
+        "batch": batch,
         "text_bucket": text_bucket,
         "mel_bucket": mel_bucket,
         "n_timesteps": n_timesteps,
@@ -85,6 +90,99 @@ def export_synthesis(
     }
     out_path.with_suffix(".json").write_text(json.dumps(meta, indent=2))
     return out_path.with_suffix(".stablehlo")
+
+
+def export_durations(pipeline, path: str, text_bucket: int, batch: int = 1,
+                     platforms: Optional[list] = None) -> Path:
+    """Serialize the duration-only program: f(x, x_lengths, spks,
+    length_scale) → y_lengths.  The runner uses it to pick the mel bucket
+    before dispatching the matching synthesis program — the explicit
+    equivalent of the reference's `.item()` graph break (matcha_tts.py:124-126)."""
+    model = pipeline.model
+    params = pipeline.params
+
+    n_spks = pipeline.model_cfg.n_spks
+
+    def fn(x, x_lengths, spks, length_scale):
+        from emojivoice_tpu.models import MatchaTTS
+
+        _mu, _w, y_lengths, _m, _s = model.apply(
+            params, x, x_lengths, spks if n_spks > 1 else None, length_scale,
+            method=MatchaTTS.encode_text
+        )
+        return y_lengths
+
+    args = (
+        jax.ShapeDtypeStruct((batch, text_bucket), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+    )
+    exported = jax_export.export(jax.jit(fn), platforms=platforms)(*args)
+    out_path = Path(path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.with_suffix(".stablehlo").write_bytes(exported.serialize())
+    return out_path.with_suffix(".stablehlo")
+
+
+def export_bundle(
+    pipeline,
+    out_dir: str,
+    text_buckets: Optional[list] = None,
+    mel_buckets: Optional[list] = None,
+    batches: tuple = (1, 8),
+    n_timesteps: int = 10,
+    with_vocoder: bool = True,
+    denoiser_strength: float = 0.00025,
+    platforms: Optional[list] = None,
+) -> Path:
+    """Export a MANIFEST of programs over (batch × text_bucket × mel_bucket).
+
+    The reference exports ONE onnx graph with dynamic batch/time axes
+    (onnx/export.py:140-162); XLA programs are static-shaped, so the bundle
+    enumerates the shape grid instead — the same static-bucket discipline the
+    live pipeline uses — plus per-(batch, text_bucket) duration programs so
+    the runner can pick the right mel bucket.  Returns the manifest path.
+    """
+    text_buckets = sorted(text_buckets or pipeline.text_buckets)
+    mel_buckets = sorted(mel_buckets or pipeline.mel_buckets)
+    batches = tuple(sorted(set(int(b) for b in batches)))
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    programs = []
+    for b in batches:
+        for t in text_buckets:
+            dur_name = f"dur_b{b}_t{t}"
+            export_durations(pipeline, str(out / dur_name), t, batch=b, platforms=platforms)
+            for m in mel_buckets:
+                name = f"synth_b{b}_t{t}_m{m}"
+                export_synthesis(
+                    pipeline, str(out / name), text_bucket=t, mel_bucket=m,
+                    n_timesteps=n_timesteps, with_vocoder=with_vocoder,
+                    denoiser_strength=denoiser_strength, platforms=platforms, batch=b,
+                )
+                programs.append({"batch": b, "text_bucket": t, "mel_bucket": m,
+                                 "synth": name, "durations": dur_name})
+
+    manifest = {
+        "format": "emojivoice-export-bundle-v1",
+        "batches": list(batches),
+        "text_buckets": list(text_buckets),
+        "mel_buckets": list(mel_buckets),
+        "n_timesteps": n_timesteps,
+        "with_vocoder": with_vocoder,
+        "denoiser_strength": denoiser_strength,
+        "n_spks": pipeline.model_cfg.n_spks,
+        "sample_rate": 22050,
+        "hop_length": 256,
+        "upsample": pipeline.vocoder_cfg.total_upsample if with_vocoder else None,
+        "cleaners": list(pipeline.cleaners),
+        "programs": programs,
+    }
+    manifest_path = out / "manifest.json"
+    manifest_path.write_text(json.dumps(manifest, indent=2))
+    return manifest_path
 
 
 class ExportedSynthesizer:
@@ -106,3 +204,205 @@ class ExportedSynthesizer:
             rng,
         )
         return np.asarray(out), np.asarray(mel_lengths)
+
+
+class LoadedBundle:
+    """Run an exported bundle end to end (reference analog: onnx/infer.py).
+
+    Loads programs lazily from a manifest directory, pads inputs to the
+    bucket grid, picks the (batch, text, mel) program via the duration
+    program, and returns trimmed per-utterance results.  Must match the
+    live pipeline bit-for-bit on every exported shape
+    (tests/test_export_and_obs.py).
+    """
+
+    def __init__(self, bundle_dir: str):
+        self.dir = Path(bundle_dir)
+        self.meta = json.loads((self.dir / "manifest.json").read_text())
+        if self.meta.get("format") != "emojivoice-export-bundle-v1":
+            raise ValueError(f"{bundle_dir}: not an export bundle")
+        self._cache: dict = {}
+
+    def _load(self, name: str):
+        if name not in self._cache:
+            self._cache[name] = jax_export.deserialize(
+                (self.dir / f"{name}.stablehlo").read_bytes())
+        return self._cache[name]
+
+    @staticmethod
+    def _pick(value: int, buckets, what: str) -> int:
+        for b in sorted(buckets):
+            if b >= value:
+                return b
+        raise ValueError(f"{what} {value} exceeds largest exported bucket {max(buckets)}")
+
+    def encode_texts(self, texts, language=None):
+        from emojivoice_tpu import text as textlib
+        from emojivoice_tpu.utils import intersperse
+
+        cleaners = tuple(self.meta["cleaners"])
+        if language is not None:
+            from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+            cleaners = (LANGUAGE_CLEANERS[language].__name__,)
+        seqs = []
+        for t in texts:
+            ids, _ = textlib.text_to_sequence(t, cleaners)
+            seqs.append(intersperse(ids, 0))
+        return seqs
+
+    def synthesise(self, texts, spks=None, length_scale: float = 1.0,
+                   temperature: float = 0.667, seed: int = 0, language=None):
+        """Returns (results, timings): results = list of dicts with wav/mel,
+        mel_length; timings = {"wall_s", "rtf"} over the whole padded batch."""
+        import datetime as _dt
+
+        t0 = _dt.datetime.now()
+        seqs = self.encode_texts(texts, language)
+        n = len(seqs)
+        batch = self._pick(n, self.meta["batches"], "batch")
+        t_bucket = self._pick(max(len(s) for s in seqs), self.meta["text_buckets"], "text length")
+
+        x = np.zeros((batch, t_bucket), np.int32)
+        xl = np.zeros((batch,), np.int32)
+        for i in range(batch):
+            s = seqs[min(i, n - 1)]  # pad rows repeat the last text
+            x[i, : len(s)] = s
+            xl[i] = len(s)
+        spk_arr = np.zeros((batch,), np.int32)
+        if spks is not None:
+            for i in range(batch):
+                spk_arr[i] = int(spks[min(i, n - 1)])
+
+        dur = self._load(f"dur_b{batch}_t{t_bucket}")
+        y_lengths = np.asarray(dur.call(x, xl, spk_arr, np.float32(length_scale)))
+        from emojivoice_tpu.utils.masks import fix_len_compatibility
+
+        m_bucket = self._pick(int(fix_len_compatibility(int(y_lengths.max()))),
+                              self.meta["mel_buckets"], "mel length")
+
+        prog = self._load(f"synth_b{batch}_t{t_bucket}_m{m_bucket}")
+        rng = jax.random.key_data(jax.random.PRNGKey(seed)).astype(jnp.uint32)
+        out, mel_lengths = prog.call(x, xl, spk_arr, np.float32(length_scale),
+                                     np.float32(temperature), rng)
+        out = np.asarray(out)
+        mel_lengths = np.asarray(mel_lengths).astype(int)
+        wall = (_dt.datetime.now() - t0).total_seconds()
+
+        results = []
+        ups = self.meta["upsample"] or self.meta["hop_length"]
+        for i in range(n):  # pad rows trimmed
+            ml = int(mel_lengths[i])
+            if self.meta["with_vocoder"]:
+                results.append({"wav": out[i, : ml * ups], "mel_length": ml})
+            else:
+                results.append({"mel": out[i, :ml], "mel_length": ml})
+        audio_s = float(mel_lengths[:n].sum()) * self.meta["hop_length"] / self.meta["sample_rate"]
+        timings = {"wall_s": wall, "rtf": wall / audio_s if audio_s else float("inf"),
+                   "batch": batch, "text_bucket": t_bucket, "mel_bucket": m_bucket}
+        return results, timings
+
+
+# ---------------------------------------------------------------------------
+# CLIs: emojivoice-export / emojivoice-run-exported
+# ---------------------------------------------------------------------------
+
+def main_export(argv=None) -> int:
+    """Export a checkpoint (or random init) to a self-contained bundle."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="emojivoice-export")
+    p.add_argument("--checkpoint_path", default=None, help="torch ckpt (reference format)")
+    p.add_argument("--vocoder", default=None)
+    p.add_argument("--orbax_dir", default=None, help="alternatively: orbax ckpts dir")
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--text_buckets", type=int, nargs="+", default=None)
+    p.add_argument("--mel_buckets", type=int, nargs="+", default=None)
+    p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    p.add_argument("--no_vocoder", action="store_true")
+    p.add_argument("--denoiser_strength", type=float, default=0.00025)
+    p.add_argument("--platforms", nargs="+", default=None,
+                   help="e.g. tpu cpu — export multi-platform StableHLO")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+    if args.random_init:
+        pipe = SynthesisPipeline.from_random()
+    elif args.orbax_dir:
+        pipe = SynthesisPipeline.from_orbax(args.orbax_dir, vocoder_ckpt=args.vocoder)
+    elif args.checkpoint_path:
+        pipe = SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder)
+    else:
+        p.error("one of --checkpoint_path / --orbax_dir / --random_init is required")
+    manifest = export_bundle(
+        pipe, args.output_dir, text_buckets=args.text_buckets, mel_buckets=args.mel_buckets,
+        batches=tuple(args.batches), n_timesteps=args.steps,
+        with_vocoder=not args.no_vocoder, denoiser_strength=args.denoiser_strength,
+        platforms=args.platforms,
+    )
+    meta = json.loads(manifest.read_text())
+    print(f"wrote bundle: {manifest.parent} ({len(meta['programs'])} programs, "
+          f"batches={meta['batches']} text={meta['text_buckets']} mel={meta['mel_buckets']})")
+    return 0
+
+
+def main_run(argv=None) -> int:
+    """Run an exported bundle: pad, pick programs, write wavs, report RTF
+    (reference analog: onnx/infer.py:24-83,136-146)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="emojivoice-run-exported")
+    p.add_argument("--bundle", required=True)
+    p.add_argument("--text", default=None)
+    p.add_argument("--file", default=None, help="lines of 'text' or 'text|spk'")
+    p.add_argument("--spk", type=int, default=0)
+    p.add_argument("--language", default=None)
+    p.add_argument("--temperature", type=float, default=0.667)
+    p.add_argument("--speaking_rate", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output_folder", default="exported_out")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not args.text and not args.file:
+        p.error("--text or --file required")
+    if args.file:
+        lines = [l.strip() for l in Path(args.file).read_text().splitlines() if l.strip()]
+        texts, spks = [], []
+        for line in lines:
+            if "|" in line:
+                t, s = line.rsplit("|", 1)
+                texts.append(t)
+                spks.append(int(s))
+            else:
+                texts.append(line)
+                spks.append(args.spk)
+    else:
+        texts, spks = [args.text], [args.spk]
+
+    bundle = LoadedBundle(args.bundle)
+    length_scale = 1.0 / args.speaking_rate if args.speaking_rate else 1.0
+    results, timings = bundle.synthesise(
+        texts, spks=spks, length_scale=length_scale, temperature=args.temperature,
+        seed=args.seed, language=args.language,
+    )
+    out_dir = Path(args.output_folder)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sr = bundle.meta["sample_rate"]
+    for i, res in enumerate(results):
+        if "wav" in res:
+            from emojivoice_tpu.inference.cli import save_wav
+
+            save_wav(str(out_dir / f"utterance_{i+1:03d}.wav"), res["wav"], sr)
+        else:
+            np.save(out_dir / f"utterance_{i+1:03d}_mel.npy", res["mel"])
+    print(json.dumps({"n": len(results), **timings, "output_folder": str(out_dir)}))
+    return 0

@@ -195,9 +195,10 @@ class SynthesisPipeline:
             def stage_b(params, voc_params, mu_x, w_ceil, y_lengths, x_mask, spk_e, temperature, rng,
                         denoiser_strength):
                 params, mu_x, x_mask, spk_e = self._cast_in((params, mu_x, x_mask, spk_e))
+                rng_in, z = self._row_noise(rng, temperature, m_bucket)
                 out = self.model.apply(
                     params, mu_x, w_ceil, y_lengths, x_mask, spk_e, m_bucket, n_timesteps,
-                    temperature, rng, method=MatchaTTS.decode_mel,
+                    temperature, rng_in, z, method=MatchaTTS.decode_mel,
                 )
                 # only ship what the caller reads — over a TPU tunnel the
                 # D2H transfer of attn/encoder outputs would dominate
@@ -228,9 +229,10 @@ class SynthesisPipeline:
             def fused(params, voc_params, x, x_lengths, spks, length_scale, temperature, rng,
                       denoiser_strength):
                 params = self._cast_in(params)
+                rng_in, z = self._row_noise(rng, temperature, m_bucket)
                 out = self.model.apply(
                     params, x, x_lengths, m_bucket, n_timesteps, temperature, spks, length_scale,
-                    rng, method=MatchaTTS.synthesise,
+                    rng_in, z, method=MatchaTTS.synthesise,
                 )
                 res = {"mel_lengths": out["mel_lengths"]}
                 if keep_mel:
@@ -247,6 +249,22 @@ class SynthesisPipeline:
 
             self._fused[key] = fused
         return self._fused[key]
+
+    def _row_noise(self, rng, temperature, m_bucket: int):
+        """Per-row keys → explicit noise; a single key passes through.
+
+        A (B, 2) stacked key array means per-request streams: row i draws
+        ``normal(key_i, (m_bucket, n_feats)) * temperature`` in f32 (the
+        noise-dtype invariant).  The threefry stream depends on the element
+        count, not leading batch dims, so a row inside a merged batch draws
+        the identical noise as a batch-1 call with the same key at the same
+        mel bucket."""
+        if rng.ndim == 1:
+            return rng, None
+        z = jax.vmap(
+            lambda k: jax.random.normal(k, (m_bucket, self.model_cfg.n_feats), jnp.float32)
+        )(rng)
+        return None, z * temperature
 
     # ------------------------------------------------------------------ #
     # public API
@@ -285,7 +303,7 @@ class SynthesisPipeline:
         length_scale: float = 1.0,
         denoiser_strength: float = 0.00025,
         language: Optional[str] = None,
-        seed: Optional[int] = None,
+        seed: Optional[int | Sequence[int]] = None,
         fused: bool = False,
         fused_mel_bucket: Optional[int] = None,
         keep_mel: bool = True,
@@ -294,6 +312,14 @@ class SynthesisPipeline:
     ) -> list[SynthesisResult]:
         """Synthesise a padded batch of texts (all 11 emoji voices in one
         compiled call is `texts×11` with per-item spks — BASELINE config #2).
+
+        ``seed`` may be a single int (one key, rows get slices of one batch
+        stream — cheapest) or a per-row sequence of ints.  Per-row seeds make
+        each row's noise a function of its own seed alone, so a row inside a
+        merged serving batch draws the same stream as a direct batch-1 call
+        with that seed (same mel bucket) — outputs agree to XLA
+        reassociation level, and exact replays through the same program are
+        bit-identical (pinned in tests/test_pipeline.py).
         """
         t0 = dt.datetime.now()
         x, x_lengths, cleaned, t_bucket = self.encode_texts(texts, language)
@@ -306,7 +332,13 @@ class SynthesisPipeline:
             spk_arr = np.clip(raw, 0, self.model_cfg.n_spks - 1)
         # all per-call inputs stay numpy until the jitted call: each eager
         # jnp conversion / PRNGKey is its own synchronous put over the tunnel
-        rng = host_prng_key(np.random.randint(0, 2**31) if seed is None else seed)
+        if seed is not None and not isinstance(seed, (int, np.integer)):
+            row_seeds = [int(s) for s in seed]
+            if len(row_seeds) != b:
+                raise ValueError(f"got {len(row_seeds)} seeds for {b} texts")
+            rng = np.stack([host_prng_key(s) for s in row_seeds])  # (B, 2)
+        else:
+            rng = host_prng_key(np.random.randint(0, 2**31) if seed is None else seed)
         ls = np.float32(length_scale)
         temp = np.float32(temperature)
         denoise = self.denoiser is not None and denoiser_strength > 0

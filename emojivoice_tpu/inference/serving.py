@@ -21,10 +21,15 @@ batching is a straight 2× on throughput before any kernel work.
   repeating the final row, so the number of distinct XLA programs stays
   bounded (same static-shape discipline as the text/mel buckets; the pad
   rows are trimmed from the results and never surface).
-- Noise: each batch draws from one fresh PRNG key (rows get independent
-  streams).  Per-request seeds are deliberately not honored — merged
-  batches cannot replay a single row's stream; use the pipeline directly
-  for reproducible offline synthesis.
+- Noise is PER ROW: every request carries a seed (caller-provided via
+  ``submit(seed=...)`` or engine-drawn), and the pipeline derives each
+  row's stream from its own key alone — a request inside a merged batch
+  draws the identical noise stream as a direct batch-1
+  ``pipe.synthesise(seed=...)`` call at the same mel bucket, and the
+  outputs agree to compiler-reassociation level (~1e-6; XLA compiles a
+  different reduction order per batch shape).  Replays through the same
+  program are bit-identical.  (Reference noise semantics:
+  flow_matching.py:51; pinned in tests/test_serving.py.)
 
 No external deps, one background thread; `stats()` exposes counters for
 observability (batch-size histogram, queue wait, dispatch latency).
@@ -47,6 +52,7 @@ class _Request:
     spk: int
     key: tuple
     future: Future
+    seed: int = 0
     t_submit: float = field(default_factory=time.monotonic)
 
 
@@ -111,8 +117,13 @@ class BatchingEngine:
         denoiser_strength: float = 0.00025,
         language: Optional[str] = None,
         keep_mel: bool = False,
+        seed: Optional[int] = None,
     ) -> Future:
-        """Enqueue one utterance; resolves to a SynthesisResult."""
+        """Enqueue one utterance; resolves to a SynthesisResult.
+
+        ``seed`` pins this request's noise stream: the same seed always draws
+        the same noise regardless of co-batched requests, and replays through
+        the same batch shape are bit-identical.  None draws a fresh one."""
         if self._closed:
             raise RuntimeError("engine is closed")
         if language is not None:
@@ -130,7 +141,10 @@ class BatchingEngine:
         with self._lock:
             if self._closed:
                 raise RuntimeError("engine is closed")
-            self._queue.put(_Request(text=text, spk=int(spk), key=key, future=fut))
+            if seed is None:
+                self._seed = (self._seed + 1) % (2**31 - 1)
+                seed = self._seed
+            self._queue.put(_Request(text=text, spk=int(spk), key=key, future=fut, seed=int(seed)))
             self._stats["requests"] += 1
         return fut
 
@@ -189,15 +203,16 @@ class BatchingEngine:
         bucket = next(b for b in self.batch_buckets if b >= n)
         texts = [r.text for r in batch] + [batch[-1].text] * (bucket - n)
         spks = [r.spk for r in batch] + [batch[-1].spk] * (bucket - n)
+        # per-row seeds: every row's noise is a function of its own request
+        # seed, never of the co-batched rows (pad rows reuse the last seed
+        # and are trimmed before results surface)
+        seeds = [r.seed for r in batch] + [batch[-1].seed] * (bucket - n)
         steps, temp, ls, dn, language, keep_mel = batch[0].key
-        with self._lock:
-            self._seed = (self._seed + 1) % (2**31 - 1)
-            seed = self._seed
         t0 = time.monotonic()
         try:
             results = self.pipe.synthesise(
                 texts, spks=spks, n_timesteps=steps, temperature=temp, length_scale=ls,
-                denoiser_strength=dn, language=language, seed=seed,
+                denoiser_strength=dn, language=language, seed=seeds,
                 keep_mel=keep_mel, pcm16=self.pcm16,
             )
         except Exception as e:  # noqa: BLE001

@@ -67,8 +67,15 @@ def make_dataset(root: Path, n_spks_pool, n_utts: int = 22, seconds: float = 2.0
 
 def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
               num_devices: int = 2, out_size: int = 172, seed: int = 0,
-              window: int = 5, utts: int = 22) -> dict:
+              window: int = 5, utts: int = 22, val_every_steps: int = 0,
+              ckpt_every_steps: int = 0, render_val_samples: int = 0,
+              use_compilation_cache: bool = False) -> dict:
     import jax
+
+    if use_compilation_cache:  # TPU runs: remote compiles take minutes
+        from emojivoice_tpu.config import enable_compilation_cache
+
+        enable_compilation_cache()
 
     from emojivoice_tpu import config as cfglib
     from emojivoice_tpu.io.checkpoint import CheckpointManager
@@ -107,10 +114,10 @@ def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
         "--num_devices", str(num_devices),
         "--from_torch_ckpt", str(torch_ckpt),
         "--out_size", str(out_size),
-        "--val_every_steps", "0",
-        "--ckpt_every_steps", "0",
+        "--val_every_steps", str(val_every_steps),
+        "--ckpt_every_steps", str(ckpt_every_steps),
         "--log_every", "1",
-        "--render_val_samples", "0",
+        "--render_val_samples", str(render_val_samples),
         "--seed", str(seed),
     ])
     assert rc == 0, "training CLI failed"
@@ -146,6 +153,21 @@ def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
     from emojivoice_tpu.inference.cli import save_wav
 
     save_wav(str(out / "proof.wav"), wav)
+    from emojivoice_tpu.inference.cli import save_png
+
+    save_png(str(out / "proof_mel.png"), np.asarray(res.mel))
+
+    # steps/s from the metrics timestamps (excludes the compile-bound first
+    # step window only as much as the data does — honest wall rate)
+    import datetime as _dt
+
+    train_recs = [m for m in metrics if m["tag"] == "train"]
+    t_first = _dt.datetime.fromisoformat(train_recs[0]["time"])
+    t_last = _dt.datetime.fromisoformat(train_recs[-1]["time"])
+    span = (t_last - t_first).total_seconds()
+    steps_per_sec = (len(train_recs) - 1) / span if span > 0 else float("nan")
+
+    val_losses = [m["loss"] for m in metrics if m["tag"] == "val"]
 
     summary = {
         "preset": preset, "steps": len(train_losses), "batch_size": batch_size,
@@ -155,6 +177,9 @@ def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
         "dur_loss_last": round(metrics[-1].get("dur_loss", float("nan")), 4),
         "diff_loss_last": round(metrics[-1].get("diff_loss", float("nan")), 4),
         "prior_loss_last": round(metrics[-1].get("prior_loss", float("nan")), 4),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "val_losses": [round(v, 4) for v in val_losses],
+        "val_trend_ok": bool(val_losses[-1] < val_losses[0]) if len(val_losses) >= 2 else None,
         "audio_seconds": round(len(wav) / res.sample_rate, 2),
         "backend": jax.default_backend(),
     }
@@ -172,17 +197,30 @@ def main(argv=None) -> int:
     p.add_argument("--num_devices", type=int, default=2)
     p.add_argument("--out_size", type=int, default=172)
     p.add_argument("--utts", type=int, default=22)
+    p.add_argument("--val_every_steps", type=int, default=0)
+    p.add_argument("--ckpt_every_steps", type=int, default=0)
+    p.add_argument("--render_val_samples", type=int, default=0)
+    p.add_argument("--compilation_cache", action="store_true",
+                   help="persistent XLA cache (TPU runs: remote compiles take minutes)")
     p.add_argument("--artifact_dir", default=None,
                    help="copy metrics.jsonl + summary.json here (committed evidence)")
     args = p.parse_args(argv)
     summary = run_proof(args.preset, args.out_dir, steps=args.steps,
                         batch_size=args.batch_size, num_devices=args.num_devices,
-                        out_size=args.out_size, utts=args.utts)
+                        out_size=args.out_size, utts=args.utts,
+                        val_every_steps=args.val_every_steps,
+                        ckpt_every_steps=args.ckpt_every_steps,
+                        render_val_samples=args.render_val_samples,
+                        use_compilation_cache=args.compilation_cache)
     if args.artifact_dir:
         art = Path(args.artifact_dir)
         art.mkdir(parents=True, exist_ok=True)
         shutil.copy(Path(args.out_dir) / "run" / "metrics.jsonl", art / "metrics.jsonl")
         shutil.copy(Path(args.out_dir) / "summary.json", art / "summary.json")
+        for extra in ("proof.wav", "proof_mel.png"):
+            src = Path(args.out_dir) / extra
+            if src.exists():
+                shutil.copy(src, art / extra)
     return 0
 
 

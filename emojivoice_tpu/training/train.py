@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--preset", default="ljspeech", help="ljspeech | vctk | emoji_multi")
     p.add_argument("--train_filelist", required=True)
     p.add_argument("--valid_filelist", required=True)
+    p.add_argument("--test_filelist", default=None,
+                   help="held-out split for a post-fit evaluation pass "
+                        "(the reference's trainer.test, train.py:83-90)")
     p.add_argument("--out_dir", default="logs/run")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_steps", type=int, default=-1)
@@ -326,6 +329,29 @@ def _run(args) -> int:
             mgr.save(step_idx, jax.device_get(
                 {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
                 cfg=dataclasses.replace(root, model=model_cfg), force=True)
+
+        # post-fit test pass (the reference's trainer.test after fit,
+        # train.py:83-90): one evaluation sweep over a held-out filelist
+        # with the final params, logged under its own tag
+        if args.test_filelist:
+            test_ds = TextMelDataset(args.test_filelist, data_cfg)
+            test_batcher = BucketBatcher(test_ds, args.batch_size, min_mel_bucket=min_mel,
+                                         shuffle=False, seed=args.seed, process_shard=shard)
+            tms = []
+            for tb_batch in test_batcher:
+                if shard is None:
+                    tb_batch = pad_batch_to_multiple(tb_batch, n_data)
+                tms.append({k: float(v) for k, v in
+                            eval_step(state.params, shard_batch(mesh, tb_batch),
+                                      jax.random.PRNGKey(0)).items()})
+            if tms:
+                avg = {k: float(np.mean([m[k] for m in tms])) for k in tms[0]}
+                log_metrics("test", step_idx, avg)
+                if is_p0:
+                    for k, v in avg.items():
+                        tb.scalar(f"test/{k}", v, step_idx)
+                    print("[train] test  " +
+                          "  ".join(f"{k}={v:.4f}" for k, v in avg.items()), flush=True)
     finally:
         # always close loggers/checkpointer, success or failure (the
         # reference's task_wrapper "close wandb" guarantee)

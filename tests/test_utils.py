@@ -85,3 +85,46 @@ def test_host_prng_key_matches_jax():
     x = np.asarray(jax.random.normal(host_prng_key(7), (4,)))
     y = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (4,)))
     np.testing.assert_array_equal(x, y)
+
+
+# ---------------------------------------------------------------------------
+# Asset resolution (utils/assets.py — the reference's MATCHA_HOME data-dir +
+# auto-download convention, utils/utils.py:178-220)
+# ---------------------------------------------------------------------------
+
+def test_assets_user_data_dir_override(tmp_path, monkeypatch):
+    from emojivoice_tpu.utils import assets
+
+    monkeypatch.setenv("EMOJIVOICE_HOME", str(tmp_path / "custom"))
+    d = assets.get_user_data_dir()
+    assert d == (tmp_path / "custom" / "emojivoice").resolve()
+    assert d.is_dir()
+
+
+def test_assets_resolution_paths(tmp_path, monkeypatch):
+    from emojivoice_tpu.utils import assets
+
+    monkeypatch.setenv("EMOJIVOICE_HOME", str(tmp_path))
+    cache = assets.get_user_data_dir()
+
+    # None passes through
+    assert assets.resolve_model(None) is None
+    # explicit existing path passes through untouched
+    f = tmp_path / "local.ckpt"
+    f.write_bytes(b"x")
+    assert assets.resolve_model(str(f)) == str(f)
+    # a cached released-asset name resolves into the data dir
+    (cache / "emoji-hri-paige.ckpt").write_bytes(b"y")
+    assert assets.resolve_model("emoji-hri-paige.ckpt") == str(cache / "emoji-hri-paige.ckpt")
+    # unknown bare name → clear FileNotFoundError naming the cache
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not a known released asset"):
+        assets.resolve_model("no-such-model.ckpt")
+    # known-but-uncached with fetching disabled → drop-in instructions
+    with _pytest.raises(RuntimeError, match="download"):
+        assets.resolve_model("hifigan_univ_v1", allow_fetch=False)
+    # fetch failure (zero-egress) surfaces instructions, not a bare crash
+    monkeypatch.setattr(assets, "fetch", lambda url, dest, timeout=60.0: (_ for _ in ()).throw(OSError("no egress")))
+    with _pytest.raises(RuntimeError, match="place the file"):
+        assets.resolve_model("hifigan_univ_v1")
