@@ -81,8 +81,11 @@ def create_train_state(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, seed: i
         x = jnp.ones((1, 8), jnp.int32)
         y = jnp.zeros((1, 16, model_cfg.n_feats))
         spks = jnp.array([0]) if model_cfg.n_spks > 1 else None
-        params = model.init({"params": rng, "dropout": rng}, x, jnp.array([8]), y,
-                            jnp.array([16]), spks, rng=rng)
+        # jit the init: eager flax init dispatches every initializer as its
+        # own device op — hundreds of synchronous round trips over a remote
+        # TPU tunnel; one compiled program instead
+        params = jax.jit(model.init)({"params": rng, "dropout": rng}, x, jnp.array([8]), y,
+                                     jnp.array([16]), spks, rng=rng)
     tx = make_optimizer(opt_cfg)
     return TrainState(params=params, opt_state=tx.init(params["params"]), step=jnp.asarray(0))
 
