@@ -114,16 +114,22 @@ def make_handler(pipeline, defaults, engine=None):
             if not text:
                 self._send("text required", 400)
                 return
-            params = dict(
-                n_timesteps=int(form.get("steps", defaults["steps"])),
-                temperature=float(form.get("temperature", defaults["temperature"])),
-                length_scale=float(form.get("length_scale", defaults["length_scale"])),
-            )
-            # optional reproducibility: the same seed replays the same noise
-            # stream on both the batching-engine and direct paths
-            if form.get("seed") not in (None, ""):
-                params["seed"] = int(form["seed"])
-            spk = int(form.get("spk", defaults["spk"]))
+            # malformed numerics must answer 400, not kill the handler
+            # thread mid-response (connection reset with no status)
+            try:
+                params = dict(
+                    n_timesteps=int(form.get("steps", defaults["steps"])),
+                    temperature=float(form.get("temperature", defaults["temperature"])),
+                    length_scale=float(form.get("length_scale", defaults["length_scale"])),
+                )
+                # optional reproducibility: the same seed replays the same
+                # noise stream on both the batching-engine and direct paths
+                if form.get("seed") not in (None, ""):
+                    params["seed"] = int(form["seed"])
+                spk = int(form.get("spk", defaults["spk"]))
+            except (TypeError, ValueError) as e:
+                self._send(f"bad numeric field: {e}", 400)
+                return
             # The HTML UI shows the mel image, so the form path opts into
             # it; the JSON API keeps the lean audio-only payload (pcm16 on
             # the wire, mel skipped) on BOTH the engine and direct paths.

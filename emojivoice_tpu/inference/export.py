@@ -43,6 +43,8 @@ def export_synthesis(
     """
     model = pipeline.model
     params = pipeline.params
+    # a pipeline without a vocoder exports mel programs regardless of the flag
+    with_vocoder = with_vocoder and pipeline.vocoder is not None
     voc = pipeline.vocoder if with_vocoder else None
     voc_params = pipeline.vocoder_params
     denoiser = pipeline.denoiser if with_vocoder else None
@@ -147,6 +149,7 @@ def export_bundle(
     text_buckets = sorted(text_buckets or pipeline.text_buckets)
     mel_buckets = sorted(mel_buckets or pipeline.mel_buckets)
     batches = tuple(sorted(set(int(b) for b in batches)))
+    with_vocoder = with_vocoder and pipeline.vocoder is not None
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -254,8 +257,27 @@ class LoadedBundle:
     def synthesise(self, texts, spks=None, length_scale: float = 1.0,
                    temperature: float = 0.667, seed: int = 0, language=None):
         """Returns (results, timings): results = list of dicts with wav/mel,
-        mel_length; timings = {"wall_s", "rtf"} over the whole padded batch."""
+        mel_length; timings = {"wall_s", "rtf"} over the whole padded batch.
+
+        More texts than the largest exported batch bucket are served in
+        chunks of that bucket (the reference's onnx runner handles any count
+        via dynamic axes; the static-bucket analog is chunking)."""
         import datetime as _dt
+
+        max_batch = max(self.meta["batches"])
+        if len(texts) > max_batch:
+            all_results, walls, audio = [], 0.0, 0.0
+            for i in range(0, len(texts), max_batch):
+                chunk_spks = spks[i:i + max_batch] if spks is not None else None
+                res, t = self.synthesise(texts[i:i + max_batch], spks=chunk_spks,
+                                         length_scale=length_scale, temperature=temperature,
+                                         seed=seed + i, language=language)
+                all_results.extend(res)
+                walls += t["wall_s"]
+                audio += t["wall_s"] / t["rtf"] if t["rtf"] else 0.0
+            timings = {"wall_s": walls, "rtf": walls / audio if audio else float("inf"),
+                       "batch": max_batch, "chunks": -(-len(texts) // max_batch)}
+            return all_results, timings
 
         t0 = _dt.datetime.now()
         seqs = self.encode_texts(texts, language)

@@ -60,10 +60,10 @@ def fold_weight_norm_torch(g: np.ndarray, v: np.ndarray) -> np.ndarray:
 # generic loading
 # ---------------------------------------------------------------------------
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Flat {name: ndarray} from a torch checkpoint.  Lightning checkpoints
-    are unwrapped to their 'state_dict'; HiFi-GAN dumps to 'generator'."""
-    obj = load_torch_file(path)
+def state_dict_arrays(obj: Any) -> Dict[str, np.ndarray]:
+    """Flat {name: ndarray} view of an already-loaded checkpoint object.
+    Lightning checkpoints are unwrapped to their 'state_dict'; HiFi-GAN
+    dumps to 'generator'."""
     if isinstance(obj, dict):
         if "state_dict" in obj:
             obj = obj["state_dict"]
@@ -71,6 +71,11 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             obj = obj["generator"]
     flat = flatten_state_dict(obj)
     return {k: np.asarray(v, dtype=np.float32) for k, v in flat.items() if isinstance(v, np.ndarray)}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Flat {name: ndarray} from a torch checkpoint file."""
+    return state_dict_arrays(load_torch_file(path))
 
 
 # ---------------------------------------------------------------------------
@@ -166,18 +171,34 @@ def infer_model_config_from_state_dict(
     dec_hp = hp.get("decoder") or {}
     cfm_hp = hp.get("cfm") or {}
 
+    def _hp(d: dict, key: str, default):
+        """hparams value with a None-check — `or` would silently override a
+        legitimate 0/0.0 stored in the checkpoint (e.g. p_dropout=0.0)."""
+        v = d.get(key)
+        return default if v is None else v
+
     # encoder heads: invisible to shapes (q/k/v pack into one channel axis)
-    n_heads = int(enc_hp.get("n_heads") or 2)
+    n_heads = int(_hp(enc_hp, "n_heads", 2))
     if n_channels % n_heads != 0:
         raise ValueError(
             f"hyper_parameters say n_heads={n_heads} but encoder channels {n_channels} do not divide"
         )
 
     # decoder heads×head_dim split: hparams are the ground truth, the
-    # to_q row count is the cross-check; default-config fallback otherwise
-    if "attention_head_dim" in dec_hp or "num_heads" in dec_hp:
-        attention_head_dim = int(dec_hp.get("attention_head_dim") or 64)
-        num_heads = int(dec_hp.get("num_heads") or head_dim_times_heads // attention_head_dim)
+    # to_q row count is the cross-check; a missing half of the pair is
+    # derived from the row count, not defaulted (a 4-head/32-dim ckpt that
+    # only stores num_heads must not be rejected against head_dim=64)
+    hp_head_dim = dec_hp.get("attention_head_dim")
+    hp_num_heads = dec_hp.get("num_heads")
+    if hp_head_dim is not None or hp_num_heads is not None:
+        if hp_head_dim is None:
+            num_heads = int(hp_num_heads)
+            attention_head_dim = head_dim_times_heads // num_heads
+        elif hp_num_heads is None:
+            attention_head_dim = int(hp_head_dim)
+            num_heads = head_dim_times_heads // attention_head_dim
+        else:
+            attention_head_dim, num_heads = int(hp_head_dim), int(hp_num_heads)
         if num_heads * attention_head_dim != head_dim_times_heads:
             raise ValueError(
                 f"hyper_parameters say {num_heads} heads × {attention_head_dim} dims but "
@@ -219,22 +240,22 @@ def infer_model_config_from_state_dict(
             n_heads=n_heads,
             n_layers=n_layers,
             kernel_size=enc_kernel,
-            p_dropout=float(enc_hp.get("p_dropout") or 0.1),
+            p_dropout=float(_hp(enc_hp, "p_dropout", 0.1)),
             prenet=prenet,
         ),
         duration_predictor=cfglib.DurationPredictorConfig(
             filter_channels_dp=filter_channels_dp, kernel_size=dp_kernel,
-            p_dropout=float(enc_hp.get("p_dropout") or 0.1),
+            p_dropout=float(_hp(enc_hp, "p_dropout", 0.1)),
         ),
         decoder=cfglib.DecoderConfig(
             channels=channels,
-            dropout=float(dec_hp.get("dropout") or 0.05),
+            dropout=float(_hp(dec_hp, "dropout", 0.05)),
             attention_head_dim=attention_head_dim,
             n_blocks=n_blocks,
             num_mid_blocks=num_mid,
             num_heads=num_heads,
         ),
-        cfm=cfglib.CFMConfig(sigma_min=float(cfm_hp.get("sigma_min") or 1e-4)),
+        cfm=cfglib.CFMConfig(sigma_min=float(_hp(cfm_hp, "sigma_min", 1e-4))),
         data_statistics=stats,
         out_size=int(out_size) if out_size is not None else None,
         prior_loss=bool(hp.get("prior_loss", True)),
@@ -392,10 +413,7 @@ def _convert_estimator(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: 
 def load_matcha_params(path: str) -> Tuple[dict, cfglib.ModelConfig]:
     obj = load_torch_file(path)
     hparams = extract_hyper_parameters(obj)
-    if isinstance(obj, dict):
-        obj = obj.get("state_dict", obj)
-    flat = flatten_state_dict(obj)
-    sd = {k: np.asarray(v, dtype=np.float32) for k, v in flat.items() if isinstance(v, np.ndarray)}
+    sd = state_dict_arrays(obj)
     cfg = infer_model_config_from_state_dict(sd, hparams=hparams)
     return convert_matcha_state_dict(sd, cfg), cfg
 

@@ -174,9 +174,11 @@ def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
         "devices": num_devices, "out_size": out_size,
         "loss_first5_mean": round(first, 4), "loss_last5_mean": round(last, 4),
         "loss_drop": round(first - last, 4),
-        "dur_loss_last": round(metrics[-1].get("dur_loss", float("nan")), 4),
-        "diff_loss_last": round(metrics[-1].get("diff_loss", float("nan")), 4),
-        "prior_loss_last": round(metrics[-1].get("prior_loss", float("nan")), 4),
+        # explicitly the last TRAIN record — with val/test cadences on, the
+        # final metrics.jsonl line is a val or test average, not a train step
+        "dur_loss_last": round(train_recs[-1].get("dur_loss", float("nan")), 4),
+        "diff_loss_last": round(train_recs[-1].get("diff_loss", float("nan")), 4),
+        "prior_loss_last": round(train_recs[-1].get("prior_loss", float("nan")), 4),
         "steps_per_sec": round(steps_per_sec, 3),
         "val_losses": [round(v, 4) for v in val_losses],
         "val_trend_ok": bool(val_losses[-1] < val_losses[0]) if len(val_losses) >= 2 else None,

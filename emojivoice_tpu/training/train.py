@@ -233,6 +233,8 @@ def _run(args) -> int:
 
     tb = TensorBoardWriter(str(Path(args.out_dir) / "tb")) if is_p0 else _NullTB()
 
+    render_cache: dict = {}
+
     def render_val_samples(step):
         if args.render_val_samples <= 0 or len(valid_ds) == 0:
             return
@@ -242,7 +244,16 @@ def _run(args) -> int:
         # global (possibly multi-process) mesh; a single-process jit over
         # non-addressable arrays raises — render from host copies instead
         host_params = jax.device_get(state.params)
-        pipe = SynthesisPipeline(model_cfg, host_params, cleaners=data_cfg.cleaners)
+        # ONE pipeline for the whole run: its jitted stages take params as an
+        # argument, so swapping in fresh host params reuses the compiled
+        # programs — rebuilding per val pass would recompile every render
+        # (minutes each on a remote TPU)
+        pipe = render_cache.get("pipe")
+        if pipe is None:
+            pipe = SynthesisPipeline(model_cfg, host_params, cleaners=data_cfg.cleaners)
+            render_cache["pipe"] = pipe
+        else:
+            pipe.params = host_params
         for i in range(min(args.render_val_samples, len(valid_ds))):
             _, spk, text = valid_ds.items[i]
             res = pipe.synthesise([text], spks=[spk], n_timesteps=10, seed=0)[0]

@@ -67,9 +67,12 @@ def test_export_bundle_roundtrip(pipe, tmp_path):
     n = min(results[0]["wav"].shape[-1], live.wav.shape[-1])
     np.testing.assert_allclose(results[0]["wav"][:n], live.wav[:n], atol=1e-5)
 
-    # batch-3 → padded to bucket 2? no: 3 exceeds the largest exported batch
-    with pytest.raises(ValueError, match="batch"):
-        bundle.synthesise(["a", "b", "c"], spks=[0, 1, 2])
+    # more texts than the largest exported batch bucket → served in chunks
+    # (the reference onnx runner takes any count via dynamic axes)
+    results3, timings3 = bundle.synthesise(["a b c", "d e f", "g h i"], spks=[0, 1, 2])
+    assert len(results3) == 3 and timings3["chunks"] == 2
+    for r in results3:
+        assert r["mel_length"] > 0 and np.isfinite(r["wav"]).all()
 
     # batch-2 path: pad rows trimmed, every row finite
     results2, timings2 = bundle.synthesise(["first one", "second longer text"], spks=[0, 2])
@@ -77,6 +80,24 @@ def test_export_bundle_roundtrip(pipe, tmp_path):
     assert len(results2) == 2
     for r in results2:
         assert r["mel_length"] > 0 and np.isfinite(r["wav"]).all()
+
+
+def test_export_without_vocoder_emits_mel_programs(tmp_path):
+    """A pipeline with no vocoder must export mel programs (and an honest
+    manifest) rather than crash on vocoder_cfg=None — review regression."""
+    from emojivoice_tpu.inference.export import LoadedBundle, export_bundle
+
+    mel_pipe = SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",), mel_buckets=(64,), text_buckets=(64,),
+        with_vocoder=False,
+    )
+    manifest = export_bundle(mel_pipe, str(tmp_path / "melbundle"),
+                             text_buckets=[64], mel_buckets=[64], batches=(1,), n_timesteps=2)
+    meta = json.loads(manifest.read_text())
+    assert meta["with_vocoder"] is False and meta["upsample"] is None
+    bundle = LoadedBundle(str(tmp_path / "melbundle"))
+    results, _ = bundle.synthesise(["mel only"], spks=[0])
+    assert "mel" in results[0] and results[0]["mel"].shape[-1] == tiny_root().model.n_feats
 
 
 def test_run_exported_cli(pipe, tmp_path, monkeypatch):

@@ -264,3 +264,22 @@ def test_export_torch_embeds_readable_hparams(tmp_path):
     assert hp["encoder"]["encoder_params"]["n_heads"] == cfg.encoder.n_heads
     assert hp["decoder"]["num_heads"] == cfg.decoder.num_heads
     assert hp["cfm"]["sigma_min"] == cfg.cfm.sigma_min
+
+
+def test_hparams_partial_head_split_and_zero_dropout():
+    """Review regressions: (a) hparams carrying only num_heads derive
+    head_dim from the to_q rows instead of rejecting against the 64
+    default; (b) a legitimate 0.0 dropout stored in the checkpoint is not
+    silently replaced by the default (falsy-`or` bug)."""
+    cfg = tiny_cfg()  # decoder: head_dim 8 × 2 heads → to_q rows 16
+    _, params = _init_tiny(cfg)
+    sd = export_matcha_state_dict(jax.device_get(params), cfg)
+    hp = {"decoder": {"num_heads": 2, "dropout": 0.0},
+          "encoder": {"encoder_params": {"p_dropout": 0.0}},
+          "cfm": {"sigma_min": 0.0}}
+    inferred = infer_model_config_from_state_dict(sd, hparams=hp)
+    assert inferred.decoder.num_heads == 2
+    assert inferred.decoder.attention_head_dim == 8  # derived, not defaulted
+    assert inferred.decoder.dropout == 0.0
+    assert inferred.encoder.p_dropout == 0.0
+    assert inferred.cfm.sigma_min == 0.0

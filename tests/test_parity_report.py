@@ -106,15 +106,15 @@ def test_parity_report_detects_divergence(exported_ckpts, monkeypatch):
 
     import emojivoice_tpu.io.torch_ckpt as tc
 
-    real_load = tc.load_matcha_params
+    real_convert = tc.convert_matcha_state_dict
 
-    def perturbed_load(path):
-        params, cfg = real_load(path)
+    def perturbed_convert(sd, cfg=None):
+        params = real_convert(sd, cfg)
         est = params["params"]["decoder"]["estimator"]
         est["final_proj"]["bias"] = np.asarray(est["final_proj"]["bias"]) + 0.1
-        return params, cfg
+        return params
 
-    monkeypatch.setattr(tc, "load_matcha_params", perturbed_load)
+    monkeypatch.setattr(tc, "convert_matcha_state_dict", perturbed_convert)
 
     ck, _vk, tmp = exported_ckpts
     texts = tmp / "one.txt"

@@ -170,6 +170,17 @@ def test_webapp_with_batching(pipe):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=60) as r:
             health = json.loads(r.read())
         assert health["ok"] and health["serving"]["requests"] == 4
+        # malformed numeric field → clean 400, not a dropped connection
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/synthesise",
+            data=json.dumps({"text": "x", "seed": "not-a-number"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad, timeout=60)
+        assert err.value.code == 400
     finally:
         server.shutdown()
         server.engine.close()

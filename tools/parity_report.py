@@ -67,10 +67,11 @@ def run_report(args) -> dict:
     import jax.numpy as jnp
 
     from emojivoice_tpu.io.torch_ckpt import (
+        convert_matcha_state_dict,
         export_matcha_hparams,
         extract_hyper_parameters,
-        load_matcha_params,
-        load_torch_state_dict,
+        infer_model_config_from_state_dict,
+        state_dict_arrays,
     )
     from emojivoice_tpu.models import MatchaTTS
     from emojivoice_tpu.text import encode
@@ -80,12 +81,16 @@ def run_report(args) -> dict:
 
     texts, spks = _parse_texts(args)
 
+    # --- load ONCE, share between both sides (real ckpts are hundreds of MB)
+    obj = load_torch_file(args.matcha_ckpt)
+    hparams = extract_hyper_parameters(obj)
+    sd_raw = state_dict_arrays(obj)
+
     # --- our side: production converter ---------------------------------
-    params, cfg = load_matcha_params(args.matcha_ckpt)
-    hparams = extract_hyper_parameters(load_torch_file(args.matcha_ckpt))
+    cfg = infer_model_config_from_state_dict(sd_raw, hparams=hparams)
+    params = convert_matcha_state_dict(sd_raw, cfg)
     if hparams is None:
         hparams = export_matcha_hparams(cfg)
-    sd_raw = load_torch_state_dict(args.matcha_ckpt)
 
     # --- reference side: the real torch model ----------------------------
     ref = build_reference_matcha(hparams, sd_raw)
