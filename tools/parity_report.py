@@ -71,6 +71,7 @@ def run_report(args) -> dict:
         export_matcha_hparams,
         extract_hyper_parameters,
         infer_model_config_from_state_dict,
+        load_torch_state_dict,
         state_dict_arrays,
     )
     from emojivoice_tpu.models import MatchaTTS
