@@ -484,6 +484,94 @@ def load_hifigan_params(path: str, cfg: Optional[cfglib.HiFiGANConfig] = None,
     return convert_hifigan_state_dict(load_torch_state_dict(path), cfg, fold=fold)
 
 
+def _conv2d_w(w: np.ndarray) -> np.ndarray:
+    """Conv2d (out, in, kh, kw) → (kh, kw, in, out)."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _effective_weight(sd: Dict[str, np.ndarray], name: str) -> np.ndarray:
+    """Plain torch-layout weight for a conv that may be parameterized.
+
+    Handles the three parameterizations the reference discriminators use
+    (hifigan/models.py:213,278-280): plain ``weight``, ``weight_norm``
+    (weight_g/weight_v → fold), and ``spectral_norm`` (weight_orig with the
+    power-iteration vectors weight_u/weight_v; eval-mode semantics compute
+    sigma = u·(W_mat v) from the stored vectors and divide — exactly what
+    torch does with do_power_iteration=False)."""
+    if f"{name}.weight_orig" in sd:
+        w = sd[f"{name}.weight_orig"]
+        u = sd[f"{name}.weight_u"].reshape(-1)
+        w_mat = w.reshape(w.shape[0], -1)
+        if f"{name}.weight_v" in sd:
+            v = sd[f"{name}.weight_v"].reshape(-1)
+        else:
+            v = w_mat.T @ u
+            v = v / max(float(np.linalg.norm(v)), 1e-12)
+        sigma = float(u @ (w_mat @ v))
+        return w / sigma
+    if f"{name}.weight_g" in sd:
+        return fold_weight_norm_torch(sd[f"{name}.weight_g"], sd[f"{name}.weight_v"])
+    return sd[f"{name}.weight"]
+
+
+def convert_mpd_state_dict(sd: Dict[str, np.ndarray], periods=(2, 3, 5, 7, 11)) -> dict:
+    """Torch MultiPeriodDiscriminator state dict → flax params.
+
+    Reference naming (hifigan/models.py:251-273): ``discriminators.{i}``
+    holds ``convs.0..4`` (Conv2d, weight-normed) + ``conv_post``.  All
+    weights are folded to plain kernels (eval semantics)."""
+    out: dict = {}
+    for i, _ in enumerate(periods):
+        t = f"discriminators.{i}"
+        d: dict = {}
+        j = 0
+        while f"{t}.convs.{j}.bias" in sd:
+            d[f"convs_{j}"] = {"kernel": _conv2d_w(_effective_weight(sd, f"{t}.convs.{j}")),
+                               "bias": sd[f"{t}.convs.{j}.bias"]}
+            j += 1
+        d["conv_post"] = {"kernel": _conv2d_w(_effective_weight(sd, f"{t}.conv_post")),
+                          "bias": sd[f"{t}.conv_post.bias"]}
+        out[f"discriminators_{i}"] = d
+    return {"params": out}
+
+
+def convert_msd_state_dict(sd: Dict[str, np.ndarray], n_scales: int = 3) -> dict:
+    """Torch MultiScaleDiscriminator state dict → flax params.
+
+    Reference naming (hifigan/models.py:309-334): ``discriminators.{i}``
+    holds ``convs.0..6`` (Conv1d) + ``conv_post``; scale 0 is
+    spectral-normed, scales 1-2 weight-normed — both handled by
+    ``_effective_weight``."""
+    out: dict = {}
+    for i in range(n_scales):
+        t = f"discriminators.{i}"
+        d: dict = {}
+        j = 0
+        while f"{t}.convs.{j}.bias" in sd:
+            d[f"convs_{j}"] = {"kernel": _conv_w(_effective_weight(sd, f"{t}.convs.{j}")),
+                               "bias": sd[f"{t}.convs.{j}.bias"]}
+            j += 1
+        d["conv_post"] = {"kernel": _conv_w(_effective_weight(sd, f"{t}.conv_post")),
+                          "bias": sd[f"{t}.conv_post.bias"]}
+        out[f"discriminators_{i}"] = d
+    return {"params": out}
+
+
+def load_hifigan_discriminators(path: str) -> dict:
+    """Read an upstream HiFi-GAN ``do_*`` training checkpoint
+    ({'mpd': …, 'msd': …, 'optim_g': …, …}) → {"mpd": params, "msd": params}
+    for MultiPeriodDiscriminator / MultiScaleDiscriminator.  Lets GAN
+    fine-tuning warm-start from pretrained discriminators instead of random
+    init (the generator side pairs with load_hifigan_params)."""
+    from emojivoice_tpu.io.torch_pickle import load_torch_file
+
+    obj = load_torch_file(path)
+    if not isinstance(obj, dict) or "mpd" not in obj or "msd" not in obj:
+        raise ValueError(f"{path}: not a HiFi-GAN do_* checkpoint (missing mpd/msd)")
+    return {"mpd": convert_mpd_state_dict(state_dict_arrays(obj["mpd"])),
+            "msd": convert_msd_state_dict(state_dict_arrays(obj["msd"]))}
+
+
 def fold_hifigan_weight_norm(params: dict) -> dict:
     """Fold trained (v, g) generator params into plain kernels for serving
     (the reference's remove_weight_norm, models.py:199-206).  Transposed-conv

@@ -163,6 +163,8 @@ class MatchaTTS(nn.Module):
         rng=None,
         deterministic: bool = False,
         row_mask=None,
+        t=None,
+        z=None,
     ):
         """Training forward → (dur_loss, prior_loss, diff_loss, attn)
         (reference: matcha_tts.py:154-246).
@@ -171,6 +173,8 @@ class MatchaTTS(nn.Module):
         row_mask (B,) optionally zero-weights whole rows — the training
         loop's uneven-final-batch padding (the reference's DDP drops these
         batches instead); None reproduces the reference losses exactly.
+        t/z inject the CFM time/noise draws (parity tests pin them against
+        the reference's ambient torch RNG); None draws from rng.
         """
         cfg = self.cfg
         spk_e = self._embed_spks(spks)
@@ -220,7 +224,7 @@ class MatchaTTS(nn.Module):
 
         diff_loss, _ = self.decoder.compute_loss(
             y, y_mask.astype(dtype), mu_y, spk_e, rng=rng, deterministic=deterministic,
-            row_mask=row_mask,
+            row_mask=row_mask, t=t, z=z,
         )
 
         if cfg.prior_loss:

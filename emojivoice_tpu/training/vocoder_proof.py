@@ -61,7 +61,9 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
                       segment_frames: int = 32, utts: int = 24, seed: int = 0,
                       window: int = 10, lr: float = 2e-4,
                       use_compilation_cache: bool = False, cfg=None,
-                      n_fft: int = 1024, win_size: int = 1024) -> dict:
+                      n_fft: int = 1024, win_size: int = 1024,
+                      gen_ckpt: str | None = None,
+                      disc_ckpt: str | None = None) -> dict:
     import jax
 
     if use_compilation_cache:  # TPU runs: remote compiles take minutes
@@ -101,10 +103,24 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     held_out = pairs.pop()
     sample = make_segment_sampler(pairs, segment_frames, hop, batch_size, seed)
 
-    # 2. state + jitted alternating GAN step (weight-norm parameterization)
+    # 2. state + jitted alternating GAN step (weight-norm parameterization).
+    # gen_ckpt / disc_ckpt warm-start from upstream torch checkpoints
+    # (g_* generator and do_* discriminator files, hifigan/xutils.py naming)
+    # — the actual fine-tune path; None trains from scratch (the proof).
+    gen_params = disc_params = None
+    if gen_ckpt:
+        from emojivoice_tpu.io.torch_ckpt import load_hifigan_params
+
+        gen_params = load_hifigan_params(gen_ckpt, cfg, fold=False)
+    if disc_ckpt:
+        from emojivoice_tpu.io.torch_ckpt import load_hifigan_discriminators
+
+        disc_params = load_hifigan_discriminators(disc_ckpt)
     state, modules = create_vocoder_state(cfg, lr=lr, seed=seed,
                                           segment_frames=segment_frames,
-                                          weight_norm=True)
+                                          weight_norm=True,
+                                          gen_params=gen_params,
+                                          disc_params=disc_params)
     step = make_vocoder_train_step(cfg, modules)
     gen: HiFiGANGenerator = modules[0]
 
@@ -189,6 +205,10 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--compilation_cache", action="store_true",
                    help="persistent XLA compile cache (use on TPU)")
+    p.add_argument("--gen_ckpt", default=None,
+                   help="warm-start generator from an upstream g_* torch ckpt")
+    p.add_argument("--disc_ckpt", default=None,
+                   help="warm-start MPD+MSD from an upstream do_* torch ckpt")
     p.add_argument("--cpu", action="store_true")
     a = p.parse_args(argv)
     if a.cpu:
@@ -197,7 +217,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     run_vocoder_proof(a.out_dir, steps=a.steps, batch_size=a.batch_size,
                       segment_frames=a.segment_frames, utts=a.utts, seed=a.seed,
-                      lr=a.lr, use_compilation_cache=a.compilation_cache)
+                      lr=a.lr, use_compilation_cache=a.compilation_cache,
+                      gen_ckpt=a.gen_ckpt, disc_ckpt=a.disc_ckpt)
     return 0
 
 

@@ -48,14 +48,18 @@ class VocoderTrainState:
 
 def create_vocoder_state(cfg: HiFiGANConfig, lr: float = 2e-4, b1: float = 0.8, b2: float = 0.99,
                          seed: int = 0, gen_params=None, segment_frames: int = 32,
-                         weight_norm: bool = True):
+                         weight_norm: bool = True, disc_params=None):
     """weight_norm=True (default) trains the generator in the upstream
     parameterization (one magnitude per channel + direction tensor): load
     params via load_hifigan_params(..., fold=False).  weight_norm=False
     trains plain folded kernels — a different optimizer geometry than
     upstream HiFi-GAN; fine for quick adaptation, not for training parity.
-    (Discriminators train from scratch either way; they are not loaded from
-    reference checkpoints.)"""
+
+    disc_params warm-starts the discriminators from an upstream ``do_*``
+    training checkpoint (io.torch_ckpt.load_hifigan_discriminators →
+    {"mpd": …, "msd": …}); the folded kernels continue training in plain
+    parameterization.  None (default) initializes them from scratch, which
+    is all the reference itself ever does (it never runs its GAN code)."""
     gen = HiFiGANGenerator(cfg=cfg, weight_norm=weight_norm)
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
@@ -64,10 +68,11 @@ def create_vocoder_state(cfg: HiFiGANConfig, lr: float = 2e-4, b1: float = 0.8, 
     wav = jnp.zeros((1, segment_frames * cfg.total_upsample))
     if gen_params is None:
         gen_params = gen.init(rng, mel)
-    disc_params = {
-        "mpd": mpd.init(jax.random.fold_in(rng, 1), wav, wav),
-        "msd": msd.init(jax.random.fold_in(rng, 2), wav, wav),
-    }
+    if disc_params is None:
+        disc_params = {
+            "mpd": mpd.init(jax.random.fold_in(rng, 1), wav, wav),
+            "msd": msd.init(jax.random.fold_in(rng, 2), wav, wav),
+        }
     gen_tx = optax.adam(lr, b1=b1, b2=b2)
     disc_tx = optax.adam(lr, b1=b1, b2=b2)
     state = VocoderTrainState(
