@@ -138,6 +138,12 @@ class BucketBatcher:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        # one-shot fast-forward: the next __iter__ skips this many leading
+        # batches WITHOUT loading their audio (index arithmetic only) — the
+        # training loop's data-order resume (Lightning restores loader
+        # progress on fit(ckpt_path=...); a naive resume would replay the
+        # epoch's already-seen batches)
+        self.skip_next = 0
         # multi-process (DCN) mode: (process_id, process_count).  Every
         # process walks the SAME global batch order and bucket choices
         # (identical seed + a one-time length scan), but materializes only
@@ -158,7 +164,8 @@ class BucketBatcher:
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
-        for i in range(0, len(order), self.batch_size):
+        skip, self.skip_next = self.skip_next, 0
+        for i in range(skip * self.batch_size, len(order), self.batch_size):
             idxs = order[i : i + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 continue

@@ -192,6 +192,7 @@ def _run(args) -> int:
               f"decoder={n_dec/1e6:.2f}M  lr={opt_cfg.lr} out_size={args.out_size}", flush=True)
     mgr = CheckpointManager(os.path.join(args.out_dir, "ckpts"),
                             max_to_keep=root.trainer.save_top_k)
+    resumed_data_state = None
     if args.resume and mgr.latest_step() is not None:
         template = jax.device_get(
             {"params": state.params, "opt_state": state.opt_state, "step": state.step}
@@ -199,8 +200,19 @@ def _run(args) -> int:
         restored = mgr.restore(template=template)
         state = TrainState(params=restored["params"], opt_state=restored["opt_state"],
                            step=restored["step"])
+        # data-order resume: a sidecar written at save time records where in
+        # the (seed, epoch)-deterministic shuffle the run was, so the resumed
+        # run continues on unseen batches instead of replaying the epoch
+        # (Lightning restores loader progress the same way; the per-step CFM
+        # noise is already resume-correct via fold_in(rng, step))
+        ds_path = Path(args.out_dir) / "ckpts" / f"data_state_{int(state.step)}.json"
+        if ds_path.exists():
+            resumed_data_state = json.loads(ds_path.read_text())
         if is_p0:
-            print(f"[train] resumed at step {int(state.step)}", flush=True)
+            print(f"[train] resumed at step {int(state.step)}"
+                  + (f" (data epoch {resumed_data_state['epoch']}, "
+                     f"batch {resumed_data_state['batch']})" if resumed_data_state else ""),
+                  flush=True)
 
     train_ds = TextMelDataset(args.train_filelist, data_cfg)
     valid_ds = TextMelDataset(args.valid_filelist, data_cfg)
@@ -210,6 +222,9 @@ def _run(args) -> int:
     shard = (jax.process_index(), pcount) if pcount > 1 else None
     batcher = BucketBatcher(train_ds, args.batch_size, min_mel_bucket=min_mel, seed=args.seed,
                             process_shard=shard)
+    if resumed_data_state is not None and args.overfit_batches == 0:
+        batcher.epoch = int(resumed_data_state["epoch"])
+        batcher.skip_next = int(resumed_data_state["batch"])
     val_batcher = BucketBatcher(valid_ds, args.batch_size, min_mel_bucket=min_mel,
                                 shuffle=False, seed=args.seed, process_shard=shard)
 
@@ -274,14 +289,24 @@ def _run(args) -> int:
                   "  ".join(f"{k}={float(v):.4f}" for k, v in m.items()), flush=True)
 
     step_idx = int(state.step)
-    epoch = 0
+    epoch = batcher.epoch  # 0 fresh; the restored shuffle-epoch on resume
     t_start = dt.datetime.now()
     done = False
+    # where the NEXT batch comes from in the deterministic shuffle — saved
+    # beside each checkpoint so --resume continues on unseen data
+    data_epoch, data_batch = batcher.epoch, batcher.skip_next
+
+    def write_data_state(step):
+        if is_p0 and args.overfit_batches == 0:
+            (Path(args.out_dir) / "ckpts" / f"data_state_{step}.json").write_text(
+                json.dumps({"epoch": data_epoch, "batch": data_batch}))
+
     try:
         while not done:
             epoch += 1
             if args.max_epochs > 0 and epoch > args.max_epochs:
                 break
+            shuffle_epoch, epoch_base = batcher.epoch, batcher.skip_next
             epoch_batches = Prefetcher(batcher)
             if args.overfit_batches > 0:
                 import itertools
@@ -302,6 +327,7 @@ def _run(args) -> int:
                 batch = shard_batch(mesh, batch)
                 state, m = train_step(state, batch, rng)
                 step_idx = int(state.step)
+                data_epoch, data_batch = shuffle_epoch, epoch_base + bi + 1
                 if step_idx % args.log_every == 0:
                     log_metrics("train", step_idx, m)
                     if is_p0:
@@ -329,9 +355,14 @@ def _run(args) -> int:
                     mgr.save(step_idx, jax.device_get(
                         {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
                         cfg=dataclasses.replace(root, model=model_cfg))
+                    write_data_state(step_idx)
                 if 0 < args.max_steps <= step_idx:
                     done = True
                     break
+            else:
+                # epoch completed: the next batch is batch 0 of the next
+                # shuffle epoch (batcher.epoch already advanced)
+                data_epoch, data_batch = batcher.epoch, 0
 
         # final save (save_last analog) — skip if the in-loop save already
         # wrote this exact step (orbax raises StepAlreadyExistsError; force=
@@ -340,6 +371,7 @@ def _run(args) -> int:
             mgr.save(step_idx, jax.device_get(
                 {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
                 cfg=dataclasses.replace(root, model=model_cfg), force=True)
+            write_data_state(step_idx)
 
         # post-fit test pass (the reference's trainer.test after fit,
         # train.py:83-90): one evaluation sweep over a held-out filelist

@@ -95,6 +95,33 @@ def test_bucket_batcher_min_mel(wav_dataset):
     assert b["y"].shape[1] >= 172
 
 
+def test_bucket_batcher_skip_next_resumes_order(wav_dataset):
+    """skip_next fast-forwards WITHIN the deterministic shuffle: a batcher
+    restored to (epoch E, batch k) yields exactly what a continuous run
+    yields from that point (the train loop's data-order resume)."""
+    filelist, cfg = wav_dataset
+    ds = TextMelDataset(filelist, cfg)
+
+    def key(b):
+        return (tuple(b["spks"].tolist()), tuple(b["x_lengths"].tolist()))
+
+    cont = BucketBatcher(ds, batch_size=1, seed=7)
+    seen = [key(b) for b in cont] + [key(b) for b in cont]  # two epochs
+
+    resumed = BucketBatcher(ds, batch_size=1, seed=7)
+    resumed.epoch = 0
+    resumed.skip_next = 2  # as if 2 batches of epoch 0 were consumed
+    tail = [key(b) for b in resumed] + [key(b) for b in resumed]
+    assert tail == seen[2:]
+    assert resumed.skip_next == 0  # one-shot
+
+    # skipping a whole epoch yields nothing and advances to the next epoch
+    whole = BucketBatcher(ds, batch_size=1, seed=7)
+    whole.skip_next = len(ds)
+    assert list(whole) == []
+    assert whole.epoch == 1
+
+
 def test_prefetcher(wav_dataset):
     filelist, cfg = wav_dataset
     ds = TextMelDataset(filelist, cfg)

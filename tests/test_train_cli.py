@@ -87,6 +87,30 @@ def test_train_cli_end_to_end(dataset):
     metrics = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
     steps = [m["step"] for m in metrics if m["tag"] == "train"]
     assert max(steps) >= 5
+    # data-order resume: the sidecar was written at the save step, and the
+    # resumed step-5 loss matches a continuous 5-step run bit-for-bit — the
+    # resumed run trains on the NEXT shuffle batches, not an epoch replay
+    # (per-step rng is fold_in(step), so data order is the only variable)
+    assert (out / "ckpts" / "data_state_4.json").exists()
+    out2 = tmp / "run_continuous"
+    rc = main([
+        "--preset", "tiny",
+        "--train_filelist", str(train),
+        "--valid_filelist", str(val),
+        "--out_dir", str(out2),
+        "--batch_size", "2",
+        "--max_steps", "5",
+        "--val_every_steps", "0",
+        "--ckpt_every_steps", "100",
+        "--num_devices", "2",
+        "--log_every", "1",
+        "--render_val_samples", "0",
+    ])
+    assert rc == 0
+    cont = [json.loads(l) for l in (out2 / "metrics.jsonl").read_text().splitlines()]
+    loss_resumed = [m for m in metrics if m["tag"] == "train" and m["step"] == 5][-1]["loss"]
+    loss_cont = [m for m in cont if m["tag"] == "train" and m["step"] == 5][-1]["loss"]
+    np.testing.assert_allclose(loss_resumed, loss_cont, rtol=0, atol=0)
 
 
 def test_task_wrapper_writes_exception_log(tmp_path):
