@@ -48,6 +48,10 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        """Steps currently retained (max_to_keep pruning applied)."""
+        return list(self._mgr.all_steps())
+
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
         step = step if step is not None else self.latest_step()
         if step is None:

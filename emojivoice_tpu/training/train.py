@@ -207,7 +207,19 @@ def _run(args) -> int:
         # noise is already resume-correct via fold_in(rng, step))
         ds_path = Path(args.out_dir) / "ckpts" / f"data_state_{int(state.step)}.json"
         if ds_path.exists():
-            resumed_data_state = json.loads(ds_path.read_text())
+            try:
+                cand = json.loads(ds_path.read_text())
+            except (json.JSONDecodeError, OSError):
+                cand = None  # truncated/corrupt sidecar: resume params anyway
+            # the shuffle position is only meaningful under the settings that
+            # produced it — on any mismatch fall back to an epoch-0 restart
+            # (the pre-sidecar behavior) rather than silently mis-skipping
+            fp = {"batch_size": args.batch_size, "seed": args.seed}
+            if cand is not None and all(cand.get(k, v) == v for k, v in fp.items()):
+                resumed_data_state = cand
+            elif cand is not None and is_p0:
+                print(f"[train] data_state ignored (saved {cand} vs current {fp})",
+                      flush=True)
         if is_p0:
             print(f"[train] resumed at step {int(state.step)}"
                   + (f" (data epoch {resumed_data_state['epoch']}, "
@@ -297,9 +309,24 @@ def _run(args) -> int:
     data_epoch, data_batch = batcher.epoch, batcher.skip_next
 
     def write_data_state(step):
-        if is_p0 and args.overfit_batches == 0:
-            (Path(args.out_dir) / "ckpts" / f"data_state_{step}.json").write_text(
-                json.dumps({"epoch": data_epoch, "batch": data_batch}))
+        if not (is_p0 and args.overfit_batches == 0):
+            return
+        ckpt_dir = Path(args.out_dir) / "ckpts"
+        # atomic write: a crash mid-write must not leave a truncated sidecar
+        # that would poison every later --resume
+        tmp = ckpt_dir / f".data_state_{step}.tmp"
+        tmp.write_text(json.dumps({"epoch": data_epoch, "batch": data_batch,
+                                   "batch_size": args.batch_size, "seed": args.seed}))
+        os.replace(tmp, ckpt_dir / f"data_state_{step}.json")
+        # prune sidecars whose checkpoint max_to_keep already deleted
+        kept = set(mgr.all_steps())
+        for p in ckpt_dir.glob("data_state_*.json"):
+            try:
+                s = int(p.stem.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if s not in kept and s != step:
+                p.unlink(missing_ok=True)
 
     try:
         while not done:
@@ -314,7 +341,11 @@ def _run(args) -> int:
                 first = list(itertools.islice(iter(batcher), args.overfit_batches))
                 epoch_batches = first
             for bi, batch in enumerate(epoch_batches):
-                if 0 < args.limit_train_batches <= bi:
+                # limit counts batches of the SHUFFLE epoch, so a resumed run
+                # (bi restarts at 0 mid-epoch) honors the same global cap; on
+                # hitting it the next batch is the next epoch's first
+                if 0 < args.limit_train_batches <= epoch_base + bi:
+                    data_epoch, data_batch = shuffle_epoch + 1, 0
                     break
                 # uneven final batch: pad with zero-weight rows so it still
                 # shards — no data dropped (the reference's DDP drop_last

@@ -40,6 +40,11 @@ def make_segment_sampler(wavs, seg_frames: int, hop: int, batch_size: int, seed:
     """
     rng = np.random.default_rng(seed)
     n = len(wavs)
+    shortest = min(mel.shape[0] for mel, _ in wavs)
+    if shortest < seg_frames:
+        raise ValueError(
+            f"segment_frames={seg_frames} exceeds the shortest utterance "
+            f"({shortest} mel frames) — lower --segment_frames or use longer audio")
 
     def sample():
         mels, segs = [], []
@@ -135,7 +140,7 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     from emojivoice_tpu.inference.cli import save_wav
 
     before = np.asarray(render(state.gen_params))
-    save_wav(str(out / "before.wav"), before)
+    save_wav(str(out / "before.wav"), before, sr=cfg.sampling_rate)
 
     # 3. the loop
     metrics_path = out / "metrics.jsonl"
@@ -157,7 +162,7 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     span = (dt.datetime.now() - t0).total_seconds() if steps > 1 else float("nan")
 
     after = np.asarray(render(state.gen_params))
-    save_wav(str(out / "after.wav"), after)
+    save_wav(str(out / "after.wav"), after, sr=cfg.sampling_rate)
     assert np.isfinite(after).all()
 
     # 4. windowed trend asserts — mel-L1 must drop; losses stay finite
