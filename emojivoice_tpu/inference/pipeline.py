@@ -55,6 +55,20 @@ class SynthesisResult:
     sample_rate: int = SAMPLE_RATE
 
 
+@dataclasses.dataclass
+class PendingSynthesis:
+    """In-flight synthesis: the jitted program is dispatched (async) but its
+    outputs have not been fetched.  ``SynthesisPipeline.finalize`` blocks on
+    the device→host transfer and builds the results — callers can dispatch
+    the NEXT batch first so the device computes while this one drains over
+    the link (the serving engine's depth-1 pipeline)."""
+
+    out: dict  # device arrays (or numpy on CPU backends)
+    cleaned: list
+    b: int
+    t0: dt.datetime
+
+
 class SynthesisPipeline:
     def __init__(
         self,
@@ -321,6 +335,35 @@ class SynthesisPipeline:
         reassociation level, and exact replays through the same program are
         bit-identical (pinned in tests/test_pipeline.py).
         """
+        return self.finalize(self.synthesise_async(
+            texts, spks=spks, n_timesteps=n_timesteps, temperature=temperature,
+            length_scale=length_scale, denoiser_strength=denoiser_strength,
+            language=language, seed=seed, fused=fused, fused_mel_bucket=fused_mel_bucket,
+            keep_mel=keep_mel, vocode=vocode, pcm16=pcm16,
+        ))
+
+    def synthesise_async(
+        self,
+        texts: Sequence[str],
+        spks: Optional[Sequence[int]] = None,
+        n_timesteps: int = 10,
+        temperature: float = 0.667,
+        length_scale: float = 1.0,
+        denoiser_strength: float = 0.00025,
+        language: Optional[str] = None,
+        seed: Optional[int | Sequence[int]] = None,
+        fused: bool = False,
+        fused_mel_bucket: Optional[int] = None,
+        keep_mel: bool = True,
+        vocode: bool = True,
+        pcm16: bool = False,
+    ) -> PendingSynthesis:
+        """Dispatch the compiled program WITHOUT fetching its outputs.
+
+        JAX dispatch is asynchronous: this returns as soon as the program is
+        enqueued (the two-stage path's one mid-point host sync aside), so a
+        caller can overlap this batch's device time with the previous
+        batch's ``finalize`` fetch."""
         t0 = dt.datetime.now()
         x, x_lengths, cleaned, t_bucket = self.encode_texts(texts, language)
         b = x.shape[0]
@@ -360,7 +403,15 @@ class SynthesisPipeline:
             out = stage_b(self.params, self.vocoder_params, mu_x, w_ceil, y_lengths, x_mask, spk_e,
                           temp, rng, np.float32(denoiser_strength))
 
-        out = jax.device_get(out)  # blocks until the program finishes
+        return PendingSynthesis(out=out, cleaned=cleaned, b=b, t0=t0)
+
+    def finalize(self, p: PendingSynthesis) -> list[SynthesisResult]:
+        """Fetch a dispatched batch's outputs and build the results.  The
+        RTF wall clock spans dispatch→fetch of THIS batch; under the serving
+        engine's pipelining that window overlaps the neighbor batches, so
+        throughput there is the engine's utt/s, not 1/rtf."""
+        b, cleaned, t0 = p.b, p.cleaned, p.t0
+        out = jax.device_get(p.out)  # blocks until the program finishes
         t_done = dt.datetime.now()
 
         results = []

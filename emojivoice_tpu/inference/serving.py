@@ -31,6 +31,13 @@ batching is a straight 2× on throughput before any kernel work.
   program are bit-identical.  (Reference noise semantics:
   flow_matching.py:51; pinned in tests/test_serving.py.)
 
+- The worker runs a **depth-1 pipeline**: batch N+1 is dispatched (JAX
+  async) before batch N's outputs are fetched, so the device computes one
+  batch while the previous one's payload drains over the link and its
+  futures resolve.  `SynthesisResult.rtf*` fields on this path span the
+  overlapped dispatch→fetch window; the engine's throughput metric is
+  utt/s from `stats()`, not 1/rtf.
+
 No external deps, one background thread; `stats()` exposes counters for
 observability (batch-size histogram, queue wait, dispatch latency).
 """
@@ -199,6 +206,33 @@ class BatchingEngine:
         return batch, holdback
 
     def _dispatch(self, batch: list[_Request]):
+        """Synchronous dispatch+finalize (the poison-row isolation path)."""
+        rec = self._dispatch_async(batch)
+        if rec is not None:
+            self._finalize(rec)
+
+    def _fail(self, batch: list[_Request], e: Exception, t0: float):
+        """Shared failure path for dispatch- and fetch-time errors."""
+        with self._lock:
+            # the failed attempt was a real dispatch: record it so
+            # monitoring can see batch-level failures happening at all
+            self._stats["failed_batches"] += 1
+            self._stats["dispatch_s_sum"] += time.monotonic() - t0
+        if len(batch) > 1:
+            # isolate the poison row: the co-batched requests are
+            # innocent (e.g. one text overflows the largest bucket) —
+            # re-dispatch each alone so only the bad one fails
+            for r in batch:
+                self._dispatch([r])
+            return
+        self._resolve(batch[0].future, exc=e)
+        with self._lock:
+            self._stats["errors"] += 1
+
+    def _dispatch_async(self, batch: list[_Request]):
+        """Enqueue one padded-batch program on the device WITHOUT fetching
+        results; returns an in-flight record for _finalize, or None if the
+        dispatch itself failed (already handled)."""
         n = len(batch)
         bucket = next(b for b in self.batch_buckets if b >= n)
         texts = [r.text for r in batch] + [batch[-1].text] * (bucket - n)
@@ -210,27 +244,23 @@ class BatchingEngine:
         steps, temp, ls, dn, language, keep_mel = batch[0].key
         t0 = time.monotonic()
         try:
-            results = self.pipe.synthesise(
+            pending = self.pipe.synthesise_async(
                 texts, spks=spks, n_timesteps=steps, temperature=temp, length_scale=ls,
                 denoiser_strength=dn, language=language, seed=seeds,
                 keep_mel=keep_mel, pcm16=self.pcm16,
             )
-        except Exception as e:  # noqa: BLE001
-            with self._lock:
-                # the failed attempt was a real dispatch: record it so
-                # monitoring can see batch-level failures happening at all
-                self._stats["failed_batches"] += 1
-                self._stats["dispatch_s_sum"] += time.monotonic() - t0
-            if n > 1:
-                # isolate the poison row: the co-batched requests are
-                # innocent (e.g. one text overflows the largest bucket) —
-                # re-dispatch each alone so only the bad one fails
-                for r in batch:
-                    self._dispatch([r])
-                return
-            self._resolve(batch[0].future, exc=e)
-            with self._lock:
-                self._stats["errors"] += 1
+        except Exception as e:  # noqa: BLE001 — bad text/shape surfaces here
+            self._fail(batch, e, t0)
+            return None
+        return (batch, n, bucket, pending, t0)
+
+    def _finalize(self, rec):
+        """Fetch a dispatched batch's outputs and resolve its futures."""
+        batch, n, bucket, pending, t0 = rec
+        try:
+            results = self.pipe.finalize(pending)
+        except Exception as e:  # noqa: BLE001 — runtime errors surface here
+            self._fail(batch, e, t0)
             return
         dt_s = time.monotonic() - t0
         # update stats BEFORE resolving futures: callers read stats() as
@@ -258,9 +288,27 @@ class BatchingEngine:
             future.set_result(result)
 
     def _run(self):
+        # Depth-1 software pipeline: dispatch batch N+1 (async), THEN block
+        # on batch N's device→host fetch.  While N's payload drains over the
+        # link (and its futures resolve), N+1 is already computing — under
+        # sustained load the device never idles on host work.  Depth 1
+        # bounds in-flight memory to two batches.
+        in_flight = None
         while True:
-            req = self._queue.get()
+            if in_flight is None:
+                req = self._queue.get()
+            else:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    # no follow-up work: drain the in-flight batch now
+                    self._finalize(in_flight)
+                    in_flight = None
+                    continue
             if req is None:
+                if in_flight is not None:
+                    self._finalize(in_flight)
+                    in_flight = None
                 if self._closed and self._queue.empty():
                     return
                 self._queue.put(None)  # keep the sentinel until the queue drains
@@ -268,4 +316,7 @@ class BatchingEngine:
             batch, holdback = self._collect(req)
             for h in holdback:  # different program key → next round
                 self._queue.put(h)
-            self._dispatch(batch)
+            rec = self._dispatch_async(batch)
+            if in_flight is not None:
+                self._finalize(in_flight)
+            in_flight = rec

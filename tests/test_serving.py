@@ -58,6 +58,29 @@ def test_mismatched_program_keys_split_batches(pipe):
     assert s["batched_rows"] == 3
 
 
+def test_pipelined_batches_resolve_correctly(pipe):
+    """Sustained load drives the worker's depth-1 pipeline (dispatch N+1
+    before finalizing N): every future resolves, results stay matched to
+    their request (per-seed determinism vs a direct call), and batch count
+    reflects multiple overlapped dispatches."""
+    texts = [f"stream item {i}" for i in range(10)]
+    with BatchingEngine(pipe, max_batch=2, max_wait_ms=5, batch_buckets=(1, 2)) as eng:
+        futs = [eng.submit(t, spk=i % 3, n_timesteps=2, seed=100 + i)
+                for i, t in enumerate(texts)]
+        results = [f.result(timeout=600) for f in futs]
+        s = eng.stats()
+    assert s["batches"] >= 5 and s["batched_rows"] == 10
+    for i, r in enumerate(results):
+        assert r.mel_length > 0 and np.isfinite(r.wav).all()
+        assert r.cleaned_text == texts[i].lower()
+    # row identity survives pipelining: same seed+speaker reproduces the
+    # direct unbatched call (same mel bucket ⇒ reassociation-level equal;
+    # pcm16 to match the engine's on-device quantization)
+    direct = pipe.synthesise([texts[4]], spks=[4 % 3], n_timesteps=2, seed=104, pcm16=True)[0]
+    assert direct.mel_length == results[4].mel_length
+    np.testing.assert_allclose(direct.wav, results[4].wav, atol=2e-5)
+
+
 def test_bad_language_rejected_at_submit(pipe):
     """Validation happens in the caller, not inside a merged batch."""
     with BatchingEngine(pipe, max_batch=2, max_wait_ms=100) as eng:
