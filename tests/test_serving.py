@@ -124,6 +124,18 @@ def test_close_rejects_new_and_drains(pipe):
     eng.close()  # idempotent
 
 
+def test_close_resolves_in_flight_pipelined_batch(pipe):
+    """close() while the worker holds an in-flight (dispatched, unfetched)
+    batch must finalize it — every submitted future resolves before close
+    returns."""
+    eng = BatchingEngine(pipe, max_batch=1, max_wait_ms=1, batch_buckets=(1,))
+    # burst of singles: with depth-1 pipelining one is always in flight
+    futs = [eng.submit(f"burst {i}", n_timesteps=2, seed=i) for i in range(5)]
+    eng.close()
+    for f in futs:
+        assert f.result(timeout=300).mel_length > 0
+
+
 def test_per_request_seed_reproduces_direct_call(pipe):
     """A seeded request inside a merged batch must reproduce the direct
     batch-1 pipeline call with the same seed — per-row noise streams
