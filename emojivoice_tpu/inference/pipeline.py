@@ -81,9 +81,25 @@ class SynthesisPipeline:
         mel_buckets: Sequence[int] = None,
         cleaners: Sequence[str] = ("english_cleaners2",),
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
+        """``mesh`` scales inference over devices: params are placed by the
+        tensor-parallel rules (replicated when the mesh has no/size-1 model
+        axis), and each synthesise batch is sharded over the mesh's ``data``
+        axis when the batch size divides it — data-parallel serving with XLA
+        collectives over ICI, the inference twin of the training mesh
+        (reference has nothing comparable; its serving is one GPU,
+        cli.py:438-447).  Batches not divisible by the data axis run
+        replicated."""
         self.model_cfg = model_cfg
         self.model = MatchaTTS(cfg=model_cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            from emojivoice_tpu.parallel.tp import shard_params as _tp_shard
+
+            params = _tp_shard(params, mesh)
+            if vocoder_params is not None:
+                vocoder_params = _tp_shard(vocoder_params, mesh)
         self.params = params
         self.vocoder_cfg = vocoder_cfg
         self.vocoder = HiFiGANGenerator(cfg=vocoder_cfg) if vocoder_cfg is not None else None
@@ -264,6 +280,27 @@ class SynthesisPipeline:
             self._fused[key] = fused
         return self._fused[key]
 
+    def _shard_batch_inputs(self, b: int, *arrays):
+        """Place batch-leading arrays on the mesh's data axis (replicated
+        when there is no mesh or the batch doesn't divide it).  Inputs stay
+        numpy otherwise — the no-mesh fast path keeps the lazy-transfer
+        behavior the tunnel needs."""
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape.get("data", 1)
+        if n_data <= 1 or b % n_data:
+            return arrays
+        placed = []
+        for a in arrays:
+            if a is None:
+                placed.append(None)
+                continue
+            spec = P(*(("data",) + (None,) * (a.ndim - 1)))
+            placed.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
+        return placed
+
     def _row_noise(self, rng, temperature, m_bucket: int):
         """Per-row keys → explicit noise; a single key passes through.
 
@@ -385,6 +422,12 @@ class SynthesisPipeline:
         ls = np.float32(length_scale)
         temp = np.float32(temperature)
         denoise = self.denoiser is not None and denoiser_strength > 0
+        if self.mesh is not None:
+            # rng: a single (2,) key replicates; per-row (B, 2) keys shard
+            rng_in = rng if rng.ndim == 1 else None
+            x, x_lengths, spk_arr, rng_rows = self._shard_batch_inputs(
+                b, x, x_lengths, spk_arr, None if rng.ndim == 1 else rng)
+            rng = rng_in if rng_rows is None else rng_rows
 
         if fused:
             m_bucket = fused_mel_bucket or self.mel_buckets[-1]

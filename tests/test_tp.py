@@ -121,6 +121,37 @@ def test_tp_synthesise_matches_replicated():
     np.testing.assert_allclose(mel_tp, ref, atol=1e-4)
 
 
+def test_dp_inference_pipeline_matches_unsharded():
+    """Data-parallel serving: a SynthesisPipeline built over a mesh shards
+    each batch over the data axis (params replicated at tp=1) and matches
+    the meshless pipeline's outputs; a batch that doesn't divide the data
+    axis falls back to replicated and still works."""
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+    from tests.test_pipeline import tiny_root
+
+    root = tiny_root()
+    base = SynthesisPipeline.from_random(
+        root, cleaners=("basic_cleaners",), mel_buckets=(64, 128), text_buckets=(64,))
+    mesh = make_mesh_2d(4, 2)
+    dp = SynthesisPipeline(
+        root.model, base.params, root.vocoder, base.vocoder_params,
+        cleaners=("basic_cleaners",), mel_buckets=(64, 128), text_buckets=(64,),
+        mesh=mesh)
+
+    texts = [f"shard me number {i}" for i in range(8)]
+    spks = list(range(8))
+    seeds = list(range(50, 58))
+    ref = base.synthesise(texts, spks=spks, n_timesteps=2, seed=seeds)
+    got = dp.synthesise(texts, spks=spks, n_timesteps=2, seed=seeds)
+    for r, g in zip(ref, got):
+        assert r.mel_length == g.mel_length
+        np.testing.assert_allclose(g.wav, r.wav, atol=1e-4)
+
+    # batch 3 does not divide data=4 → replicated path
+    odd = dp.synthesise(texts[:3], spks=spks[:3], n_timesteps=2, seed=seeds[:3])
+    assert all(o.mel_length > 0 and np.isfinite(o.wav).all() for o in odd)
+
+
 def test_tp_vocoder_matches_replicated():
     """HiFi-GAN MRF stacks sharded across the model axis reproduce the
     replicated waveform."""
