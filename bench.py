@@ -21,6 +21,30 @@ import json
 import sys
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Retry backend init with backoff: a remote TPU can be transiently
+    UNAVAILABLE (stale client session on the far side of the tunnel wedges
+    the device for a while).  Crashing immediately would lose the round's
+    benchmark to a hiccup; bounded patience costs nothing."""
+    import time
+
+    import jax
+
+    t0, delay = time.monotonic(), 30.0
+    while True:
+        try:
+            jax.devices()
+            return
+        except Exception as e:  # noqa: BLE001 — backend init failure
+            waited = time.monotonic() - t0
+            if waited > max_wait_s:
+                raise
+            print(f"[bench] backend unavailable after {waited:.0f}s ({e!r}); "
+                  f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(delay)
+            delay = min(delay * 1.5, 120.0)
+
+
 def main() -> int:
     import jax
     import numpy as np
@@ -28,6 +52,7 @@ def main() -> int:
     from emojivoice_tpu.config import enable_compilation_cache
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
 
+    _wait_for_backend()
     enable_compilation_cache()
 
     text = (
