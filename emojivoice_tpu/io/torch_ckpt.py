@@ -161,7 +161,31 @@ def infer_model_config_from_state_dict(
         sd[f"decoder.estimator.down_blocks.{i}.0.block1.block.0.weight"].shape[0] for i in range(n_down)
     )
     num_mid = 1 + max(int(k.split(".")[3]) for k in sd if k.startswith("decoder.estimator.mid_blocks."))
-    head_dim_times_heads = sd["decoder.estimator.down_blocks.0.1.0.attn1.to_q.weight"].shape[0]
+
+    def _block_type(prefix: str) -> str:
+        """transformer vs conformer, from the attention projection key shape
+        (transformer: attn1.to_q; conformer wrapper: attn.fn.to_q —
+        reference decoder.py:318-343 get_block)."""
+        if f"{prefix}.attn1.to_q.weight" in sd:
+            return "transformer"
+        if f"{prefix}.attn.fn.to_q.weight" in sd:
+            return "conformer"
+        raise KeyError(f"cannot identify block type at {prefix}")
+
+    down_bt = _block_type("decoder.estimator.down_blocks.0.1.0")
+    mid_bt = _block_type("decoder.estimator.mid_blocks.0.1.0")
+    up_bt = _block_type("decoder.estimator.up_blocks.0.1.0")
+    if down_bt == "transformer":
+        head_dim_times_heads = sd["decoder.estimator.down_blocks.0.1.0.attn1.to_q.weight"].shape[0]
+    else:
+        head_dim_times_heads = sd["decoder.estimator.down_blocks.0.1.0.attn.fn.to_q.weight"].shape[0]
+    # conformer attention stores a (2·max_pos+1, head_dim) distance table —
+    # the head split is visible in the shapes, no heuristic needed
+    conf_head_dim = None
+    for k in sd:
+        if k.endswith(".attn.fn.rel_pos_emb.weight") and k.startswith("decoder.estimator."):
+            conf_head_dim = int(sd[k].shape[1])
+            break
     n_blocks = 1 + max(
         int(k.split(".")[5]) for k in sd if k.startswith("decoder.estimator.down_blocks.0.1.")
     )
@@ -204,10 +228,18 @@ def infer_model_config_from_state_dict(
                 f"hyper_parameters say {num_heads} heads × {attention_head_dim} dims but "
                 f"attn1.to_q has {head_dim_times_heads} rows"
             )
+    elif conf_head_dim is not None:
+        attention_head_dim = conf_head_dim
+        num_heads = head_dim_times_heads // attention_head_dim
     else:
         # reference default: head_dim 64 (configs/model/decoder/default.yaml)
         attention_head_dim = 64 if head_dim_times_heads % 64 == 0 else head_dim_times_heads
         num_heads = head_dim_times_heads // attention_head_dim
+    if conf_head_dim is not None and conf_head_dim != attention_head_dim:
+        raise ValueError(
+            f"conformer rel_pos_emb says head_dim={conf_head_dim} but the head split "
+            f"resolved to {attention_head_dim}"
+        )
 
     # hparams-refined dims that shapes also see: cross-check, do not trust blindly
     for name, shape_val in (("n_vocab", n_vocab), ("n_spks", n_spks), ("n_feats", n_feats)):
@@ -254,6 +286,9 @@ def infer_model_config_from_state_dict(
             n_blocks=n_blocks,
             num_mid_blocks=num_mid,
             num_heads=num_heads,
+            down_block_type=down_bt,
+            mid_block_type=mid_bt,
+            up_block_type=up_bt,
         ),
         cfm=cfglib.CFMConfig(sigma_min=float(_hp(cfm_hp, "sigma_min", 1e-4))),
         data_statistics=stats,
@@ -298,17 +333,64 @@ def _convert_tblock(sd, tname: str, out: dict, opath: Tuple[str, ...]):
     _set(out, opath + ("ff", "proj_out", "bias"), sd[f"{tname}.ff.net.2.bias"])
 
 
+def _pw_w(w: np.ndarray) -> np.ndarray:
+    """torch 1×1 Conv1d weight (out, in, 1) → flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w[:, :, 0].T)
+
+
+def _convert_cblock(sd, tname: str, out: dict, bstats: dict, opath: Tuple[str, ...]):
+    """Conformer block (reference ConformerWrapper = lucidrains-0.3.2
+    ConformerBlock, decoder.py:161-197) → models/conformer.py tree.
+    BatchNorm running statistics go to the ``batch_stats`` collection."""
+    for ff in ("ff1", "ff2"):
+        _set(out, opath + (ff, "norm", "scale"), sd[f"{tname}.{ff}.fn.norm.weight"])
+        _set(out, opath + (ff, "norm", "bias"), sd[f"{tname}.{ff}.fn.norm.bias"])
+        _set(out, opath + (ff, "in_proj", "kernel"), _dense_w(sd[f"{tname}.{ff}.fn.fn.net.0.weight"]))
+        _set(out, opath + (ff, "in_proj", "bias"), sd[f"{tname}.{ff}.fn.fn.net.0.bias"])
+        _set(out, opath + (ff, "out_proj", "kernel"), _dense_w(sd[f"{tname}.{ff}.fn.fn.net.3.weight"]))
+        _set(out, opath + (ff, "out_proj", "bias"), sd[f"{tname}.{ff}.fn.fn.net.3.bias"])
+    _set(out, opath + ("attn", "norm", "scale"), sd[f"{tname}.attn.norm.weight"])
+    _set(out, opath + ("attn", "norm", "bias"), sd[f"{tname}.attn.norm.bias"])
+    _set(out, opath + ("attn", "to_q", "kernel"), _dense_w(sd[f"{tname}.attn.fn.to_q.weight"]))
+    _set(out, opath + ("attn", "to_kv", "kernel"), _dense_w(sd[f"{tname}.attn.fn.to_kv.weight"]))
+    _set(out, opath + ("attn", "to_out", "kernel"), _dense_w(sd[f"{tname}.attn.fn.to_out.weight"]))
+    _set(out, opath + ("attn", "to_out", "bias"), sd[f"{tname}.attn.fn.to_out.bias"])
+    _set(out, opath + ("attn", "rel_pos_emb"), sd[f"{tname}.attn.fn.rel_pos_emb.weight"])
+    cv = f"{tname}.conv.net"
+    _set(out, opath + ("conv", "norm", "scale"), sd[f"{cv}.0.weight"])
+    _set(out, opath + ("conv", "norm", "bias"), sd[f"{cv}.0.bias"])
+    _set(out, opath + ("conv", "pointwise_in", "kernel"), _pw_w(sd[f"{cv}.2.weight"]))
+    _set(out, opath + ("conv", "pointwise_in", "bias"), sd[f"{cv}.2.bias"])
+    # depthwise torch weight (inner, 1, k) → ours (k, 1, inner)
+    _set(out, opath + ("conv", "depthwise_kernel"),
+         np.ascontiguousarray(sd[f"{cv}.4.conv.weight"].transpose(2, 1, 0)))
+    _set(out, opath + ("conv", "depthwise_bias"), sd[f"{cv}.4.conv.bias"])
+    _set(out, opath + ("conv", "bn", "scale"), sd[f"{cv}.5.weight"])
+    _set(out, opath + ("conv", "bn", "bias"), sd[f"{cv}.5.bias"])
+    _set(bstats, opath + ("conv", "bn", "mean"), sd[f"{cv}.5.running_mean"])
+    _set(bstats, opath + ("conv", "bn", "var"), sd[f"{cv}.5.running_var"])
+    _set(out, opath + ("conv", "pointwise_out", "kernel"), _pw_w(sd[f"{cv}.7.weight"]))
+    _set(out, opath + ("conv", "pointwise_out", "bias"), sd[f"{cv}.7.bias"])
+    _set(out, opath + ("post_norm", "scale"), sd[f"{tname}.post_norm.weight"])
+    _set(out, opath + ("post_norm", "bias"), sd[f"{tname}.post_norm.bias"])
+
+
 def convert_matcha_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[cfglib.ModelConfig] = None) -> dict:
-    """Torch MatchaTTS state dict → flax params tree (matches models/matcha.py)."""
+    """Torch MatchaTTS state dict → flax variables tree (matches
+    models/matcha.py).  Returns {"params": ...} plus a "batch_stats"
+    collection when the checkpoint contains conformer BatchNorm stats."""
     if cfg is None:
         cfg = infer_model_config_from_state_dict(sd)
     out: dict = {}
+    bstats: dict = {}
 
     if cfg.n_spks > 1:
         _set(out, ("spk_emb", "embedding"), sd["spk_emb.weight"])
 
     _convert_encoder(sd, cfg, out)
-    _convert_estimator(sd, cfg, out)
+    _convert_estimator(sd, cfg, out, bstats)
+    if bstats:
+        return {"params": out, "batch_stats": bstats}
     return {"params": out}
 
 
@@ -361,9 +443,18 @@ def _convert_encoder(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: di
     _set(out, ("encoder", "proj_w", "proj", "bias"), sd["encoder.proj_w.proj.bias"])
 
 
-def _convert_estimator(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: dict) -> None:
+def _convert_estimator(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: dict,
+                       bstats: Optional[dict] = None) -> None:
     """CFM estimator (U-Net) section of the conversion (keys "decoder.estimator.*")."""
     est = "decoder.estimator"
+    bstats = {} if bstats is None else bstats
+
+    def _block(region_type: str, tname: str, opath: Tuple[str, ...]):
+        if region_type == "conformer":
+            _convert_cblock(sd, tname, out, bstats, opath)
+        else:
+            _convert_tblock(sd, tname, out, opath)
+
     for lin in ("linear_1", "linear_2"):
         _set(out, ("decoder", "estimator", "time_mlp", lin, "kernel"),
              _dense_w(sd[f"{est}.time_mlp.{lin}.weight"]))
@@ -373,8 +464,8 @@ def _convert_estimator(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: 
     for i in range(n_down):
         _convert_resnet(sd, f"{est}.down_blocks.{i}.0", out, ("decoder", "estimator", f"down_{i}_resnet"))
         for j in range(cfg.decoder.n_blocks):
-            _convert_tblock(sd, f"{est}.down_blocks.{i}.1.{j}", out,
-                            ("decoder", "estimator", f"down_{i}_tblock_{j}"))
+            _block(cfg.decoder.down_block_type, f"{est}.down_blocks.{i}.1.{j}",
+                   ("decoder", "estimator", f"down_{i}_tblock_{j}"))
         ds = f"{est}.down_blocks.{i}.2"
         w_key = f"{ds}.conv.weight" if f"{ds}.conv.weight" in sd else f"{ds}.weight"
         b_key = f"{ds}.conv.bias" if f"{ds}.conv.bias" in sd else f"{ds}.bias"
@@ -384,14 +475,14 @@ def _convert_estimator(sd: Dict[str, np.ndarray], cfg: cfglib.ModelConfig, out: 
     for i in range(cfg.decoder.num_mid_blocks):
         _convert_resnet(sd, f"{est}.mid_blocks.{i}.0", out, ("decoder", "estimator", f"mid_{i}_resnet"))
         for j in range(cfg.decoder.n_blocks):
-            _convert_tblock(sd, f"{est}.mid_blocks.{i}.1.{j}", out,
-                            ("decoder", "estimator", f"mid_{i}_tblock_{j}"))
+            _block(cfg.decoder.mid_block_type, f"{est}.mid_blocks.{i}.1.{j}",
+                   ("decoder", "estimator", f"mid_{i}_tblock_{j}"))
 
     for i in range(n_down):
         _convert_resnet(sd, f"{est}.up_blocks.{i}.0", out, ("decoder", "estimator", f"up_{i}_resnet"))
         for j in range(cfg.decoder.n_blocks):
-            _convert_tblock(sd, f"{est}.up_blocks.{i}.1.{j}", out,
-                            ("decoder", "estimator", f"up_{i}_tblock_{j}"))
+            _block(cfg.decoder.up_block_type, f"{est}.up_blocks.{i}.1.{j}",
+                   ("decoder", "estimator", f"up_{i}_tblock_{j}"))
         us = f"{est}.up_blocks.{i}.2"
         if f"{us}.conv.weight" in sd:  # ConvTranspose1d inside Upsample1D
             _set(out, ("decoder", "estimator", f"up_{i}_upsample", "kernel"),
@@ -696,11 +787,57 @@ def export_matcha_state_dict(params: dict, cfg: cfglib.ModelConfig) -> Dict[str,
         sd[f"{tname}.ff.net.2.weight"] = _inv_dense_w(ours["ff"]["proj_out"]["kernel"])
         sd[f"{tname}.ff.net.2.bias"] = np_(ours["ff"]["proj_out"]["bias"])
 
+    bstats_est = (params.get("batch_stats") or {}).get("decoder", {}).get("estimator", {})
+
+    def export_cblock(ours: dict, stats: Optional[dict], tname: str):
+        """Conformer block → lucidrains-0.3.2 ConformerWrapper names."""
+        for ff in ("ff1", "ff2"):
+            sd[f"{tname}.{ff}.fn.norm.weight"] = np_(ours[ff]["norm"]["scale"])
+            sd[f"{tname}.{ff}.fn.norm.bias"] = np_(ours[ff]["norm"]["bias"])
+            sd[f"{tname}.{ff}.fn.fn.net.0.weight"] = _inv_dense_w(ours[ff]["in_proj"]["kernel"])
+            sd[f"{tname}.{ff}.fn.fn.net.0.bias"] = np_(ours[ff]["in_proj"]["bias"])
+            sd[f"{tname}.{ff}.fn.fn.net.3.weight"] = _inv_dense_w(ours[ff]["out_proj"]["kernel"])
+            sd[f"{tname}.{ff}.fn.fn.net.3.bias"] = np_(ours[ff]["out_proj"]["bias"])
+        at = ours["attn"]
+        sd[f"{tname}.attn.norm.weight"] = np_(at["norm"]["scale"])
+        sd[f"{tname}.attn.norm.bias"] = np_(at["norm"]["bias"])
+        sd[f"{tname}.attn.fn.to_q.weight"] = _inv_dense_w(at["to_q"]["kernel"])
+        sd[f"{tname}.attn.fn.to_kv.weight"] = _inv_dense_w(at["to_kv"]["kernel"])
+        sd[f"{tname}.attn.fn.to_out.weight"] = _inv_dense_w(at["to_out"]["kernel"])
+        sd[f"{tname}.attn.fn.to_out.bias"] = np_(at["to_out"]["bias"])
+        sd[f"{tname}.attn.fn.rel_pos_emb.weight"] = np_(at["rel_pos_emb"])
+        cv = ours["conv"]
+        sd[f"{tname}.conv.net.0.weight"] = np_(cv["norm"]["scale"])
+        sd[f"{tname}.conv.net.0.bias"] = np_(cv["norm"]["bias"])
+        sd[f"{tname}.conv.net.2.weight"] = _inv_dense_w(cv["pointwise_in"]["kernel"], as_conv1x1=True)
+        sd[f"{tname}.conv.net.2.bias"] = np_(cv["pointwise_in"]["bias"])
+        sd[f"{tname}.conv.net.4.conv.weight"] = np_(np.transpose(
+            np.asarray(cv["depthwise_kernel"]), (2, 1, 0)))
+        sd[f"{tname}.conv.net.4.conv.bias"] = np_(cv["depthwise_bias"])
+        sd[f"{tname}.conv.net.5.weight"] = np_(cv["bn"]["scale"])
+        sd[f"{tname}.conv.net.5.bias"] = np_(cv["bn"]["bias"])
+        st = (stats or {}).get("conv", {}).get("bn", {})
+        sd[f"{tname}.conv.net.5.running_mean"] = np_(
+            st["mean"]) if "mean" in st else np.zeros_like(np_(cv["bn"]["scale"]))
+        sd[f"{tname}.conv.net.5.running_var"] = np_(
+            st["var"]) if "var" in st else np.ones_like(np_(cv["bn"]["scale"]))
+        sd[f"{tname}.conv.net.7.weight"] = _inv_dense_w(cv["pointwise_out"]["kernel"], as_conv1x1=True)
+        sd[f"{tname}.conv.net.7.bias"] = np_(cv["pointwise_out"]["bias"])
+        sd[f"{tname}.post_norm.weight"] = np_(ours["post_norm"]["scale"])
+        sd[f"{tname}.post_norm.bias"] = np_(ours["post_norm"]["bias"])
+
+    def export_block(region_type: str, name_key: str, tname: str):
+        if region_type == "conformer":
+            export_cblock(est[name_key], bstats_est.get(name_key), tname)
+        else:
+            export_tblock(est[name_key], tname)
+
     n_down = len(cfg.decoder.channels)
     for i in range(n_down):
         export_resnet(est[f"down_{i}_resnet"], f"decoder.estimator.down_blocks.{i}.0")
         for j in range(cfg.decoder.n_blocks):
-            export_tblock(est[f"down_{i}_tblock_{j}"], f"decoder.estimator.down_blocks.{i}.1.{j}")
+            export_block(cfg.decoder.down_block_type, f"down_{i}_tblock_{j}",
+                         f"decoder.estimator.down_blocks.{i}.1.{j}")
         if i < n_down - 1:
             sd[f"decoder.estimator.down_blocks.{i}.2.conv.weight"] = _inv_conv_w(
                 est[f"down_{i}_downsample"]["kernel"])
@@ -712,11 +849,13 @@ def export_matcha_state_dict(params: dict, cfg: cfglib.ModelConfig) -> Dict[str,
     for i in range(cfg.decoder.num_mid_blocks):
         export_resnet(est[f"mid_{i}_resnet"], f"decoder.estimator.mid_blocks.{i}.0")
         for j in range(cfg.decoder.n_blocks):
-            export_tblock(est[f"mid_{i}_tblock_{j}"], f"decoder.estimator.mid_blocks.{i}.1.{j}")
+            export_block(cfg.decoder.mid_block_type, f"mid_{i}_tblock_{j}",
+                         f"decoder.estimator.mid_blocks.{i}.1.{j}")
     for i in range(n_down):
         export_resnet(est[f"up_{i}_resnet"], f"decoder.estimator.up_blocks.{i}.0")
         for j in range(cfg.decoder.n_blocks):
-            export_tblock(est[f"up_{i}_tblock_{j}"], f"decoder.estimator.up_blocks.{i}.1.{j}")
+            export_block(cfg.decoder.up_block_type, f"up_{i}_tblock_{j}",
+                         f"decoder.estimator.up_blocks.{i}.1.{j}")
         if i < n_down - 1:
             sd[f"decoder.estimator.up_blocks.{i}.2.conv.weight"] = _inv_convt_w(
                 est[f"up_{i}_upsample"]["kernel"])
@@ -779,6 +918,9 @@ def export_matcha_hparams(cfg: cfglib.ModelConfig) -> dict:
             "num_mid_blocks": cfg.decoder.num_mid_blocks,
             "num_heads": cfg.decoder.num_heads,
             "act_fn": cfg.decoder.act_fn,
+            "down_block_type": cfg.decoder.down_block_type,
+            "mid_block_type": cfg.decoder.mid_block_type,
+            "up_block_type": cfg.decoder.up_block_type,
         },
         "cfm": {"name": "CFM", "solver": cfg.cfm.solver, "sigma_min": cfg.cfm.sigma_min},
         "data_statistics": {

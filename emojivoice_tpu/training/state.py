@@ -107,13 +107,12 @@ def _cast_floats(tree, dtype):
 
 
 def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):
-    dur, prior, diff, _ = model.apply(
-        params,
-        batch["x"],
-        batch["x_lengths"],
-        batch["y"],
-        batch["y_lengths"],
-        batch.get("spks"),
+    """Training/eval losses.  When the variables carry a ``batch_stats``
+    collection (conformer-block BatchNorm running statistics) and this is a
+    training forward, the collection is threaded mutably and the updated
+    stats are returned as the 4th element (empty dict otherwise)."""
+    args = (batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"], batch.get("spks"))
+    kwargs = dict(
         durations=batch.get("durations"),
         out_size=out_size,
         rng=rng,
@@ -121,7 +120,12 @@ def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):
         row_mask=batch.get("row_mask"),
         rngs=None if deterministic else {"dropout": jax.random.fold_in(rng, 1)},
     )
-    return dur, prior, diff
+    if not deterministic and "batch_stats" in params:
+        (dur, prior, diff, _), updated = model.apply(
+            params, *args, mutable=["batch_stats"], **kwargs)
+        return dur, prior, diff, updated
+    dur, prior, diff, _ = model.apply(params, *args, **kwargs)
+    return dur, prior, diff, {}
 
 
 def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None, axis: str = "data",
@@ -153,16 +157,21 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
                 batch_c = _cast_floats(batch, compute_dtype)
             else:
                 batch_c = batch
-            dur, prior, diff = _losses(model, params, batch_c, rng, out_size, deterministic=False)
+            dur, prior, diff, stats_upd = _losses(
+                model, params, batch_c, rng, out_size, deterministic=False)
             # loss terms are f32 by construction (models cast reductions up)
             total = dur + prior + diff
-            return total, (dur, prior, diff)
+            return total, (dur, prior, diff, stats_upd)
 
-        (total, (dur, prior, diff)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (total, (dur, prior, diff, stats_upd)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         g = grads["params"]
         grad_norm = optax.global_norm(g)
         updates, opt_state = tx.update(g, state.opt_state, state.params["params"])
-        params = {"params": optax.apply_updates(state.params["params"], updates)}
+        params = {k: v for k, v in state.params.items()}
+        params["params"] = optax.apply_updates(state.params["params"], updates)
+        if stats_upd:  # conformer BatchNorm running stats, kept f32 at rest
+            params.update(_cast_floats(stats_upd, jnp.float32))
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         metrics = {
             "loss": total,
@@ -230,7 +239,7 @@ def make_eval_step(model_cfg: ModelConfig, mesh=None, axis: str = "data", precis
         if compute_dtype != jnp.float32:
             params = _cast_floats(params, compute_dtype)
             batch = _cast_floats(batch, compute_dtype)
-        dur, prior, diff = _losses(model, params, batch, rng, None, deterministic=True)
+        dur, prior, diff, _ = _losses(model, params, batch, rng, None, deterministic=True)
         return {"dur_loss": dur, "prior_loss": prior, "diff_loss": diff, "loss": dur + prior + diff}
 
     if mesh is None:

@@ -136,9 +136,10 @@ def _install_diffusers_stub() -> None:
       ``scale`` arg (the LoRA layer is None in eval usage), so state_dict
       names/shapes match the real package.
 
-    The AdaLayerNorm variants and the conformer package are imported by the
-    reference but config-dead (``num_embeds_ada_norm=None``, block types are
-    all "transformer"), so their stand-ins refuse construction.
+    The AdaLayerNorm variants are config-dead in the reference
+    (``num_embeds_ada_norm=None``), so their stand-ins refuse construction.
+    The conformer package (alternative block type) gets its own executable
+    stand-in — see ``_install_conformer_stub``.
     """
     import torch
     import torch.nn as tnn
@@ -245,9 +246,174 @@ def _install_diffusers_stub() -> None:
     diffusers.utils = utils
     utils.torch_utils = _module("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda cls: cls)
 
-    class ConformerBlock(tnn.Module):  # subclassed by ConformerWrapper, never built
-        def __init__(self, **kwargs):
-            raise NotImplementedError("conformer blocks are config-dead (all block types 'transformer')")
+    _install_conformer_stub()
+
+
+def _install_conformer_stub() -> None:
+    """Executable stand-in for the lucidrains ``conformer==0.3.2`` package
+    (pinned in the reference requirements, absent from this image), written
+    from its public math — NOT copied.  The reference's ``ConformerWrapper``
+    (decoder.py:161-197) subclasses this ``ConformerBlock``:
+
+      ff1 = Scale(0.5, PreNorm(FeedForward))     linear → swish → dropout →
+                                                 linear → dropout
+      attn = PreNorm(Attention)                  Shaw relative-position
+                                                 attention: fused to_kv,
+                                                 (2·512+1, dim_head) distance
+                                                 table, clamp ±512, output
+                                                 dropout after to_out
+      conv = ConformerConvModule                 LN → 1×1 conv ×2 expansion →
+                                                 GLU → depthwise k=31 (same
+                                                 padding) → BatchNorm1d →
+                                                 swish → 1×1 conv → dropout
+      ff2 = Scale(0.5, PreNorm(FeedForward))
+      post_norm = LayerNorm
+
+    Module/parameter names match the published package so state_dict keys
+    line up with real conformer-config checkpoints."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    class _Swish(tnn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(x)
+
+    class _GLU(tnn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dim = dim
+
+        def forward(self, x):
+            out, gate = x.chunk(2, dim=self.dim)
+            return out * gate.sigmoid()
+
+    class _Transpose(tnn.Module):
+        def forward(self, x):
+            return x.transpose(1, 2)
+
+    class DepthWiseConv1d(tnn.Module):
+        def __init__(self, chan_in, chan_out, kernel_size, padding):
+            super().__init__()
+            self.padding = padding
+            self.conv = tnn.Conv1d(chan_in, chan_out, kernel_size, groups=chan_in)
+
+        def forward(self, x):
+            return self.conv(tF.pad(x, self.padding))
+
+    class Scale(tnn.Module):
+        def __init__(self, scale, fn):
+            super().__init__()
+            self.fn, self.scale = fn, scale
+
+        def forward(self, x, **kwargs):
+            return self.fn(x, **kwargs) * self.scale
+
+    class PreNorm(tnn.Module):
+        def __init__(self, dim, fn):
+            super().__init__()
+            self.fn, self.norm = fn, tnn.LayerNorm(dim)
+
+        def forward(self, x, **kwargs):
+            return self.fn(self.norm(x), **kwargs)
+
+    class Attention(tnn.Module):
+        def __init__(self, dim, heads=8, dim_head=64, dropout=0.0, max_pos_emb=512):
+            super().__init__()
+            inner = dim_head * heads
+            self.heads, self.scale = heads, dim_head**-0.5
+            self.to_q = tnn.Linear(dim, inner, bias=False)
+            self.to_kv = tnn.Linear(dim, inner * 2, bias=False)
+            self.to_out = tnn.Linear(inner, dim)
+            self.max_pos_emb = max_pos_emb
+            self.rel_pos_emb = tnn.Embedding(2 * max_pos_emb + 1, dim_head)
+            self.dropout = tnn.Dropout(dropout)
+
+        def forward(self, x, context=None, mask=None, context_mask=None):
+            n, h, mx = x.shape[-2], self.heads, self.max_pos_emb
+            context = x if context is None else context
+            q = self.to_q(x)
+            k, v = self.to_kv(context).chunk(2, dim=-1)
+            b = x.shape[0]
+
+            def split(t):
+                return t.view(b, -1, h, t.shape[-1] // h).transpose(1, 2)
+
+            q, k, v = split(q), split(k), split(v)
+            dots = torch.einsum("bhid,bhjd->bhij", q, k) * self.scale
+
+            seq = torch.arange(n, device=x.device)
+            dist = (seq.view(-1, 1) - seq.view(1, -1)).clamp(-mx, mx) + mx
+            rel = self.rel_pos_emb(dist).to(q)
+            pos_attn = torch.einsum("bhnd,nrd->bhnr", q, rel) * self.scale
+            dots = dots + pos_attn
+
+            if mask is not None or context_mask is not None:
+                mask = torch.ones(*x.shape[:2], device=x.device).bool() if mask is None else mask
+                context_mask = mask if context_mask is None else context_mask
+                mask_value = -torch.finfo(dots.dtype).max
+                pair = mask.view(b, 1, -1, 1) * context_mask.view(b, 1, 1, -1)
+                dots.masked_fill_(~pair.bool(), mask_value)
+
+            attn = dots.softmax(dim=-1)
+            out = torch.einsum("bhij,bhjd->bhid", attn, v)
+            out = out.transpose(1, 2).reshape(b, -1, h * (out.shape[-1]))
+            return self.dropout(self.to_out(out))
+
+    class FeedForward(tnn.Module):
+        def __init__(self, dim, mult=4, dropout=0.0):
+            super().__init__()
+            self.net = tnn.Sequential(
+                tnn.Linear(dim, dim * mult), _Swish(), tnn.Dropout(dropout),
+                tnn.Linear(dim * mult, dim), tnn.Dropout(dropout),
+            )
+
+        def forward(self, x):
+            return self.net(x)
+
+    def _calc_same_padding(kernel_size):
+        pad = kernel_size // 2
+        return (pad, pad - (kernel_size + 1) % 2)
+
+    class ConformerConvModule(tnn.Module):
+        def __init__(self, dim, causal=False, expansion_factor=2, kernel_size=31, dropout=0.0):
+            super().__init__()
+            inner = dim * expansion_factor
+            padding = _calc_same_padding(kernel_size) if not causal else (kernel_size - 1, 0)
+            self.net = tnn.Sequential(
+                tnn.LayerNorm(dim), _Transpose(),
+                tnn.Conv1d(dim, inner * 2, 1), _GLU(dim=1),
+                DepthWiseConv1d(inner, inner, kernel_size=kernel_size, padding=padding),
+                tnn.BatchNorm1d(inner) if not causal else tnn.Identity(),
+                _Swish(), tnn.Conv1d(inner, dim, 1), _Transpose(), tnn.Dropout(dropout),
+            )
+
+        def forward(self, x):
+            return self.net(x)
+
+    class ConformerBlock(tnn.Module):
+        def __init__(self, *, dim, dim_head=64, heads=8, ff_mult=4, conv_expansion_factor=2,
+                     conv_kernel_size=31, attn_dropout=0.0, ff_dropout=0.0, conv_dropout=0.0,
+                     conv_causal=False):
+            super().__init__()
+            self.ff1 = FeedForward(dim=dim, mult=ff_mult, dropout=ff_dropout)
+            self.attn = Attention(dim=dim, dim_head=dim_head, heads=heads, dropout=attn_dropout)
+            self.conv = ConformerConvModule(
+                dim=dim, causal=conv_causal, expansion_factor=conv_expansion_factor,
+                kernel_size=conv_kernel_size, dropout=conv_dropout,
+            )
+            self.ff2 = FeedForward(dim=dim, mult=ff_mult, dropout=ff_dropout)
+            self.attn = PreNorm(dim, self.attn)
+            self.ff1 = Scale(0.5, PreNorm(dim, self.ff1))
+            self.ff2 = Scale(0.5, PreNorm(dim, self.ff2))
+            self.post_norm = tnn.LayerNorm(dim)
+
+        def forward(self, x, mask=None):
+            x = self.ff1(x) + x
+            x = self.attn(x, mask=mask) + x
+            x = self.conv(x) + x
+            x = self.ff2(x) + x
+            return self.post_norm(x)
 
     _module("conformer", ConformerBlock=ConformerBlock)
 

@@ -38,6 +38,38 @@ def test_conformer_mask_invariance():
     np.testing.assert_allclose(np.asarray(a)[0, :5], np.asarray(b)[0, :5], atol=1e-5)
 
 
+def test_conformer_train_step_updates_batch_stats():
+    """The jitted train step threads the BatchNorm running statistics
+    (mutable batch_stats collection) and keeps them out of the optimizer."""
+    from emojivoice_tpu.config import OptimizerConfig
+    from emojivoice_tpu.training.state import create_train_state, make_train_step
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, mid_block_type="conformer"))
+    state = create_train_state(cfg, OptimizerConfig(), seed=0)
+    assert "batch_stats" in state.params
+    before = jax.tree.map(np.asarray, state.params["batch_stats"])
+
+    step = make_train_step(cfg, OptimizerConfig())
+    batch = {
+        "x": jnp.ones((2, 8), jnp.int32),
+        "x_lengths": jnp.array([8, 6]),
+        "y": jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, cfg.n_feats)),
+                         jnp.float32),
+        "y_lengths": jnp.array([16, 12]),
+        "spks": jnp.array([0, 1]) if cfg.n_spks > 1 else None,
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    after = state.params["batch_stats"]
+    changed = jax.tree.map(lambda a, b: float(np.abs(np.asarray(b) - a).max()), before, after)
+    assert max(jax.tree.leaves(changed)) > 0.0
+    # second step consumes the updated stats without shape/type drift
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_unet_with_conformer_blocks():
     cfg = tiny_cfg()
     cfg = dataclasses.replace(
