@@ -169,6 +169,13 @@ def default_asr() -> ASRAdapter:
     prev = os.environ.get("HF_HUB_OFFLINE")
     os.environ["HF_HUB_OFFLINE"] = "1"  # cache-only: no network retries in hermetic envs
     try:
+        try:
+            # JAX-native Whisper first: same device/runtime as synthesis
+            from emojivoice_tpu.apps.flax_adapters import FlaxWhisperASR  # noqa: PLC0415
+
+            return FlaxWhisperASR()
+        except Exception:  # noqa: BLE001
+            pass
         return WhisperASR()
     except Exception:  # noqa: BLE001
         return ConsoleASR()

@@ -132,6 +132,13 @@ def main(argv=None) -> int:
     p.add_argument("--speaking_rate", type=float, default=0.8)
     p.add_argument("--language", default="en")
     p.add_argument("--out_dir", default="feel_me_out", help="audio sink dir when no sound device")
+    p.add_argument("--asr", choices=["auto", "flax", "torch", "console"], default="auto",
+                   help="flax = JAX-native Whisper on the device; torch = HF pipeline")
+    p.add_argument("--asr_model", default="openai/whisper-tiny.en")
+    p.add_argument("--llm", choices=["auto", "ollama", "flax", "transformers", "scripted"],
+                   default="auto", help="flax = JAX-native causal LM on the device")
+    p.add_argument("--llm_model", default=None,
+                   help="model name for the chosen --llm backend (default: backend-specific)")
     args = p.parse_args(argv)
 
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
@@ -143,8 +150,27 @@ def main(argv=None) -> int:
     else:
         pipe = SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder,
                                                         cleaners=cleaners)
-    app = FeelMe(pipe, voice=args.voice, steps=args.steps, speaking_rate=args.speaking_rate,
-                 language=args.language, sink=ad.default_audio_sink(args.out_dir))
+    asr = None
+    if args.asr == "flax":
+        from emojivoice_tpu.apps.flax_adapters import FlaxWhisperASR
+        asr = FlaxWhisperASR(model_name=args.asr_model)
+    elif args.asr == "torch":
+        asr = ad.WhisperASR(model_name=args.asr_model)
+    elif args.asr == "console":
+        asr = ad.ConsoleASR()
+    llm = None
+    if args.llm == "ollama":
+        llm = ad.OllamaLLM(model=args.llm_model or "llama3.2:1b")
+    elif args.llm == "flax":
+        from emojivoice_tpu.apps.flax_adapters import FlaxChatLM
+        llm = FlaxChatLM(model_name=args.llm_model or "gpt2")
+    elif args.llm == "transformers":
+        llm = ad.TransformersLLM(model_name=args.llm_model or "gpt2")
+    elif args.llm == "scripted":
+        llm = ad.ScriptedLLM()
+    app = FeelMe(pipe, asr=asr, llm=llm, voice=args.voice, steps=args.steps,
+                 speaking_rate=args.speaking_rate, language=args.language,
+                 sink=ad.default_audio_sink(args.out_dir))
     app.run()
     return 0
 
