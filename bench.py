@@ -21,28 +21,49 @@ import json
 import sys
 
 
-def _wait_for_backend(max_wait_s: float = 900.0) -> None:
-    """Retry backend init with backoff: a remote TPU can be transiently
-    UNAVAILABLE (stale client session on the far side of the tunnel wedges
-    the device for a while).  Crashing immediately would lose the round's
-    benchmark to a hiccup; bounded patience costs nothing."""
+def _wait_for_backend(max_wait_s: float = 900.0, probe_cmd=None,
+                      probe_timeout_s: float = 150.0) -> None:
+    """Wait for the backend with bounded patience, probing in a SUBPROCESS.
+
+    A remote TPU can be transiently unavailable two ways: client init
+    *raises* (backend registered but device claimed), or — when the tunnel
+    itself is down — ``jax.devices()`` blocks in ``make_c_api_client``
+    indefinitely.  An in-process probe would hang this process forever with
+    no chance to retry, so each probe runs in a child with a deadline; a
+    probe stuck connecting holds no device session, so killing it on expiry
+    is safe (unlike killing a *connected* client, which wedges the device).
+    Only after a child connects cleanly does this process init its backend.
+    """
+    import subprocess
     import time
 
-    import jax
-
+    if probe_cmd is None:
+        # the probe must exercise the DEFAULT backend chain (axon first):
+        # register() pins jax_platforms="axon,cpu" in every process, so this
+        # is what bench's own init will do
+        probe_cmd = [sys.executable, "-c", "import jax; jax.devices()"]
     t0, delay = time.monotonic(), 30.0
     while True:
         try:
-            jax.devices()
-            return
-        except Exception as e:  # noqa: BLE001 — backend init failure
-            waited = time.monotonic() - t0
-            if waited > max_wait_s:
-                raise
-            print(f"[bench] backend unavailable after {waited:.0f}s ({e!r}); "
-                  f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
-            time.sleep(delay)
-            delay = min(delay * 1.5, 120.0)
+            probe = subprocess.run(
+                probe_cmd, timeout=probe_timeout_s, capture_output=True, text=True,
+            )
+            if probe.returncode == 0:
+                import jax
+
+                jax.devices()  # tunnel is up: in-process init completes
+                return
+            reason = (probe.stderr or "").strip().splitlines()[-1:] or ["?"]
+            reason = f"probe rc={probe.returncode}: {reason[0][:200]}"
+        except subprocess.TimeoutExpired:
+            reason = "probe hung in client init (tunnel down?)"
+        waited = time.monotonic() - t0
+        if waited > max_wait_s:
+            raise RuntimeError(f"backend unavailable after {waited:.0f}s — {reason}")
+        print(f"[bench] backend unavailable after {waited:.0f}s ({reason}); "
+              f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(delay)
+        delay = min(delay * 1.5, 120.0)
 
 
 def main() -> int:

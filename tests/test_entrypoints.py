@@ -64,3 +64,36 @@ def test_feel_me_main_text_mode(tmp_path, monkeypatch):
     rc = fm.main(["--random_init", "--steps", "2", "--out_dir", str(tmp_path)])
     assert rc == 0
     assert len(list(tmp_path.glob("*.wav"))) == 1
+
+
+def test_bench_wait_for_backend_probe_paths():
+    """bench._wait_for_backend probes in a killable subprocess: a tunnel-down
+    jax.devices() HANGS (doesn't raise), so an in-process attempt would block
+    the benchmark forever with no retry."""
+    import sys
+    import time
+
+    import pytest
+
+    import bench
+
+    # healthy: probe exits 0 → in-process init (CPU under pytest) → returns
+    t0 = time.monotonic()
+    bench._wait_for_backend(max_wait_s=30, probe_cmd=[sys.executable, "-c", "pass"])
+    assert time.monotonic() - t0 < 30
+
+    # hung probe: killed at the deadline, classified, retried, bounded raise
+    with pytest.raises(RuntimeError, match="hung"):
+        bench._wait_for_backend(
+            max_wait_s=0.0,
+            probe_cmd=[sys.executable, "-c", "import time; time.sleep(60)"],
+            probe_timeout_s=1.0,
+        )
+
+    # failing probe: nonzero rc is reported with its stderr tail
+    with pytest.raises(RuntimeError, match="rc=3"):
+        bench._wait_for_backend(
+            max_wait_s=0.0,
+            probe_cmd=[sys.executable, "-c", "import sys; print('dead', file=sys.stderr); sys.exit(3)"],
+            probe_timeout_s=10.0,
+        )
