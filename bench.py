@@ -49,12 +49,23 @@ def _wait_for_backend(max_wait_s: float = 900.0, probe_cmd=None,
                 probe_cmd, timeout=probe_timeout_s, capture_output=True, text=True,
             )
             if probe.returncode == 0:
-                import jax
+                try:
+                    import jax
 
-                jax.devices()  # tunnel is up: in-process init completes
-                return
-            reason = (probe.stderr or "").strip().splitlines()[-1:] or ["?"]
-            reason = f"probe rc={probe.returncode}: {reason[0][:200]}"
+                    jax.devices()  # tunnel is up: in-process init completes
+                    return
+                except Exception as e:  # noqa: BLE001 — e.g. UNAVAILABLE while
+                    # the far side reaps the probe's just-closed session
+                    reason = f"in-process init after good probe: {e!r:.200}"
+                    try:  # drop the cached failed init so a retry can succeed
+                        from jax.extend.backend import clear_backends
+
+                        clear_backends()
+                    except Exception:  # noqa: BLE001
+                        pass
+            else:
+                tail = (probe.stderr or "").strip().splitlines()[-1:] or ["?"]
+                reason = f"probe rc={probe.returncode}: {tail[0][:200]}"
         except subprocess.TimeoutExpired:
             reason = "probe hung in client init (tunnel down?)"
         waited = time.monotonic() - t0

@@ -30,11 +30,25 @@ class AudioSink(Protocol):
     def play(self, wav, sample_rate: int) -> None: ...
 
 
+class AudioRecorder(Protocol):
+    def record(self, wav_path: str) -> bool: ...
+
+
+def build_messages(system_prompt: str, history: List[dict], user_msg: str) -> List[dict]:
+    """The chat-message shape every LLM backend consumes (reference:
+    feel_me.py get_chat_prompt_template + RunnableWithMessageHistory)."""
+    return [{"role": "system", "content": system_prompt}] + list(history) + [
+        {"role": "user", "content": user_msg}
+    ]
+
+
 # ---------------------------------------------------------------------- ASR
 
 class WhisperASR:
     """OpenAI Whisper via transformers (reference uses openai-whisper
     'tiny.en', feel_me.py:268).  Needs model weights locally."""
+
+    needs_audio = True  # reads a recorded wav — the loop must supply one
 
     def __init__(self, model_name: str = "openai/whisper-tiny.en"):
         from transformers import pipeline as hf_pipeline  # noqa: PLC0415
@@ -47,6 +61,8 @@ class WhisperASR:
 
 class ConsoleASR:
     """Hermetic fallback: prompt on stdin instead of the microphone."""
+
+    needs_audio = False
 
     def transcribe(self, wav_path: str = "") -> str:  # noqa: ARG002
         return input("you> ").strip()
@@ -66,9 +82,7 @@ class OllamaLLM:
         self.timeout = timeout
 
     def chat(self, system_prompt: str, history: List[dict], user_msg: str) -> str:
-        messages = [{"role": "system", "content": system_prompt}]
-        messages += history
-        messages.append({"role": "user", "content": user_msg})
+        messages = build_messages(system_prompt, history, user_msg)
         req = urllib.request.Request(
             f"{self.host}/api/chat",
             data=json.dumps({
@@ -94,9 +108,7 @@ class TransformersLLM:
         self.max_new_tokens = max_new_tokens
 
     def chat(self, system_prompt: str, history: List[dict], user_msg: str) -> str:
-        messages = [{"role": "system", "content": system_prompt}] + history + [
-            {"role": "user", "content": user_msg}
-        ]
+        messages = build_messages(system_prompt, history, user_msg)
         out = self._pipe(messages, max_new_tokens=self.max_new_tokens,
                          do_sample=self.temperature > 0, temperature=self.temperature)
         return out[0]["generated_text"][-1]["content"]
@@ -156,6 +168,47 @@ class FileSink:
         self.count += 1
 
 
+class SounddeviceRecorder:
+    """Push-to-talk microphone capture (reference Recorder,
+    feel_me.py:213-251): stream frames until the user presses Enter, write
+    an int16 wav.  The reference stops on a pynput key press; stdin Enter
+    avoids that extra dependency with the same interaction."""
+
+    def __init__(self, sample_rate: int = 44100):
+        import sounddevice  # noqa: PLC0415,F401
+
+        self._sd = sounddevice
+        self.sample_rate = sample_rate
+
+    def record(self, wav_path: str) -> bool:
+        import numpy as np
+        from scipy.io import wavfile
+
+        frames = []
+
+        def _cb(indata, n_frames, t, status):  # noqa: ARG001
+            frames.append(indata.copy())
+
+        stream = self._sd.InputStream(callback=_cb, channels=1, samplerate=self.sample_rate)
+        stream.start()
+        input("Recording... press Enter to stop.")
+        stream.stop()
+        stream.close()
+        if not frames:
+            return False
+        audio = np.concatenate(frames, axis=0)
+        audio = np.clip(audio * 32767, -32768, 32767).astype(np.int16)
+        wavfile.write(wav_path, self.sample_rate, audio)
+        return True
+
+
+def default_recorder() -> Optional[AudioRecorder]:
+    try:
+        return SounddeviceRecorder()
+    except Exception:  # noqa: BLE001 — no sound device in this environment
+        return None
+
+
 def default_audio_sink(out_dir: str = ".") -> AudioSink:
     try:
         return SounddeviceSink()
@@ -163,7 +216,7 @@ def default_audio_sink(out_dir: str = ".") -> AudioSink:
         return FileSink(out_dir)
 
 
-def default_asr() -> ASRAdapter:
+def default_asr(model_name: str = "openai/whisper-tiny.en") -> ASRAdapter:
     import os
 
     prev = os.environ.get("HF_HUB_OFFLINE")
@@ -173,10 +226,10 @@ def default_asr() -> ASRAdapter:
             # JAX-native Whisper first: same device/runtime as synthesis
             from emojivoice_tpu.apps.flax_adapters import FlaxWhisperASR  # noqa: PLC0415
 
-            return FlaxWhisperASR()
+            return FlaxWhisperASR(model_name=model_name)
         except Exception:  # noqa: BLE001
             pass
-        return WhisperASR()
+        return WhisperASR(model_name=model_name)
     except Exception:  # noqa: BLE001
         return ConsoleASR()
     finally:
@@ -186,9 +239,9 @@ def default_asr() -> ASRAdapter:
             os.environ["HF_HUB_OFFLINE"] = prev
 
 
-def default_llm() -> LLMAdapter:
+def default_llm(model: str = "llama3.2:1b") -> LLMAdapter:
     try:
-        llm = OllamaLLM()
+        llm = OllamaLLM(model=model)
         llm.chat("ping", [], "ping")  # reachability probe
         return llm
     except Exception:  # noqa: BLE001

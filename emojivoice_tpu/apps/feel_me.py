@@ -57,6 +57,8 @@ class FeelMe:
         asr: Optional[ad.ASRAdapter] = None,
         llm: Optional[ad.LLMAdapter] = None,
         sink: Optional[ad.AudioSink] = None,
+        recorder: Optional[ad.AudioRecorder] = None,
+        record_path: str = "output.wav",
         voice: str = "female",
         steps: int = 10,
         temperature: float = 0.667,
@@ -69,6 +71,18 @@ class FeelMe:
         self.asr = asr or ad.default_asr()
         self.llm = llm or ad.default_llm()
         self.sink = sink or ad.default_audio_sink()
+        # a file-reading ASR (whisper flavors) needs a recorder in front of
+        # it (reference records push-to-talk into output.wav, feel_me.py:280)
+        self.recorder = recorder
+        if recorder is None and getattr(self.asr, "needs_audio", False):
+            self.recorder = ad.default_recorder()
+            if self.recorder is None:
+                raise RuntimeError(
+                    "the chosen ASR transcribes recorded audio but no microphone "
+                    "recorder is available (sounddevice absent); use a console ASR "
+                    "or pass a recorder adapter"
+                )
+        self.record_path = record_path
         self.mapping = EMOJI_MAPPING if voice == "female" else EMOJI_MAPPING_MALE
         self.steps = steps
         self.temperature = temperature
@@ -111,7 +125,12 @@ class FeelMe:
     def run(self):
         print("feel-me loop — say/type 'end session' to stop")
         while True:
-            user_text = self.asr.transcribe("output.wav")
+            if self.recorder is not None:
+                input("Press Enter when you're ready to record 🎙️ ")
+                if not self.recorder.record(self.record_path):
+                    print("I didn't hear anything, try again...")
+                    continue
+            user_text = self.asr.transcribe(self.record_path)
             if not user_text:
                 print("I didn't hear anything, try again...")
                 continue
@@ -158,6 +177,9 @@ def main(argv=None) -> int:
         asr = ad.WhisperASR(model_name=args.asr_model)
     elif args.asr == "console":
         asr = ad.ConsoleASR()
+    elif args.asr_model != "openai/whisper-tiny.en":
+        # auto with an explicit model: honor it in whichever backend resolves
+        asr = ad.default_asr(model_name=args.asr_model)
     llm = None
     if args.llm == "ollama":
         llm = ad.OllamaLLM(model=args.llm_model or "llama3.2:1b")
@@ -168,6 +190,8 @@ def main(argv=None) -> int:
         llm = ad.TransformersLLM(model_name=args.llm_model or "gpt2")
     elif args.llm == "scripted":
         llm = ad.ScriptedLLM()
+    elif args.llm_model:  # auto — still honor --llm_model in the Ollama probe
+        llm = ad.default_llm(model=args.llm_model)
     app = FeelMe(pipe, asr=asr, llm=llm, voice=args.voice, steps=args.steps,
                  speaking_rate=args.speaking_rate, language=args.language,
                  sink=ad.default_audio_sink(args.out_dir))

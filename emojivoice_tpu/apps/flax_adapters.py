@@ -49,6 +49,8 @@ class FlaxWhisperASR:
     (1, 80, 3000), so there is exactly one program regardless of input.
     """
 
+    needs_audio = True  # reads a recorded wav — the loop must supply one
+
     def __init__(
         self,
         model=None,
@@ -168,23 +170,38 @@ class FlaxChatLM:
 
     # -- prompt construction ------------------------------------------------
 
-    def _render_prompt(self, system_prompt: str, history: List[dict], user_msg: str) -> str:
-        messages = [{"role": "system", "content": system_prompt}] + list(history) + [
-            {"role": "user", "content": user_msg}
-        ]
+    def _prompt_ids(self, messages: List[dict]) -> List[int]:
         tmpl = getattr(self._tok, "chat_template", None)
         if tmpl:
-            return self._tok.apply_chat_template(
-                messages, tokenize=False, add_generation_prompt=True
+            # templated tokenizers: let the template emit its own specials —
+            # re-tokenizing the rendered string would duplicate BOS etc.
+            return list(
+                self._tok.apply_chat_template(messages, tokenize=True,
+                                              add_generation_prompt=True)
             )
-        lines = [f"{m['role']}: {m['content']}" for m in messages]
-        return "\n".join(lines) + "\nassistant:"
+        text = "\n".join(f"{m['role']}: {m['content']}" for m in messages) + "\nassistant:"
+        return list(self._tok(text)["input_ids"])
 
-    def _encode(self, prompt: str):
-        ids = list(self._tok(prompt)["input_ids"])
+    def _fit_messages(self, messages: List[dict]) -> List[int]:
+        """Token ids that fit the largest bucket, dropping the OLDEST history
+        message first and never the system message — tail-truncation would
+        silently cut the system instructions (the emoji rules in feel_me)
+        exactly when the conversation gets long."""
         max_bucket = self.prompt_buckets[-1]
-        if len(ids) > max_bucket:  # keep the most recent context
-            ids = ids[-max_bucket:]
+        messages = list(messages)
+        ids = self._prompt_ids(messages)
+        while len(ids) > max_bucket and len(messages) > 2:
+            del messages[1]  # oldest non-system message
+            ids = self._prompt_ids(messages)
+        if len(ids) > max_bucket:
+            # system + current turn alone overflow: keep the instruction head
+            # and the current-user tail
+            head = max_bucket // 2
+            ids = ids[:head] + ids[-(max_bucket - head):]
+        return ids
+
+    def _encode(self, messages: List[dict]):
+        ids = self._fit_messages(messages)
         bucket = next(b for b in self.prompt_buckets if b >= len(ids))
         n_pad = bucket - len(ids)
         padded = np.full((1, bucket), self._pad_id, dtype=np.int32)
@@ -219,8 +236,9 @@ class FlaxChatLM:
     def chat(self, system_prompt: str, history: List[dict], user_msg: str) -> str:
         import jax
 
-        prompt = self._render_prompt(system_prompt, history, user_msg)
-        ids, mask, bucket = self._encode(prompt)
+        from emojivoice_tpu.apps.adapters import build_messages
+
+        ids, mask, bucket = self._encode(build_messages(system_prompt, history, user_msg))
         do_sample = self.temperature > 0
         prng = jax.random.fold_in(self._base_key, self._turn)
         self._turn += 1

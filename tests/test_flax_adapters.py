@@ -170,3 +170,123 @@ def test_feel_me_turn_with_flax_llm(tiny_gpt2):
     assert spoken == "what a day"
     assert spk == 12  # 🙂 → speaker 12 (reference feel_me.py mapping)
     assert len(sink.played) == 1
+
+
+def test_fit_messages_preserves_system_prompt(tiny_gpt2):
+    """Overlong conversations drop the OLDEST history, never the system
+    message — tail-truncation would cut the emoji instructions exactly when
+    the chat gets long."""
+
+    class WordTokenizer(StubTokenizer):
+        def __call__(self, text):
+            return {"input_ids": [3 + (sum(ord(c) for c in t) % 89) for t in text.split()]}
+
+    tok = WordTokenizer()
+    llm = FlaxChatLM(model=tiny_gpt2, tokenizer=tok, temperature=0.0,
+                     max_new_tokens=4, prompt_buckets=(32,))
+    system = "always end with emoji"
+    hist = []
+    for i in range(12):
+        hist.append({"role": "user", "content": f"u{i} filler words here"})
+        hist.append({"role": "assistant", "content": f"a{i} more filler words"})
+    from emojivoice_tpu.apps.adapters import build_messages
+
+    msgs = build_messages(system, hist, "latest question")
+    ids = llm._fit_messages(msgs)
+    assert len(ids) <= 32
+    sys_ids = tok("system: " + system)["input_ids"]
+    assert ids[: len(sys_ids)] == sys_ids  # system head intact
+    tail_ids = tok("latest question")["input_ids"]
+    assert ids[-len(tail_ids) - 1:][: len(tail_ids)] or True  # tail retained below
+    joined = ids[-8:]
+    assert all(t in joined for t in tail_ids)  # current turn survives
+
+
+def test_chat_template_tokenizes_once(tiny_gpt2):
+    """Templated tokenizers produce ids via apply_chat_template directly —
+    re-tokenizing the rendered string would duplicate special tokens."""
+
+    class TemplatedTokenizer(StubTokenizer):
+        chat_template = "{{messages}}"
+
+        def apply_chat_template(self, messages, tokenize, add_generation_prompt):
+            assert tokenize and add_generation_prompt
+            return [7] * (3 * len(messages))
+
+        def __call__(self, text):  # noqa: ARG002
+            raise AssertionError("rendered template must not be re-tokenized")
+
+    llm = FlaxChatLM(model=tiny_gpt2, tokenizer=TemplatedTokenizer(), temperature=0.0,
+                     max_new_tokens=4, prompt_buckets=(16, 32))
+    reply = llm.chat("sys", [], "hi")
+    assert isinstance(reply, str)
+
+
+def test_feel_me_run_records_before_transcribing(tmp_path):
+    """The loop records push-to-talk audio into record_path and hands that
+    file to a needs_audio ASR (reference feel_me.py:280-283 semantics)."""
+    import builtins
+
+    from emojivoice_tpu.apps import adapters as ad
+    from emojivoice_tpu.apps.feel_me import FeelMe
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+    from tests.test_pipeline import tiny_root
+
+    wav_path = str(tmp_path / "output.wav")
+
+    class FakeRecorder:
+        def __init__(self):
+            self.calls = 0
+
+        def record(self, path):
+            self.calls += 1
+            from scipy.io import wavfile
+
+            wavfile.write(path, 22050, np.zeros(2205, np.int16))
+            return True
+
+    class FileASR:
+        needs_audio = True
+
+        def __init__(self):
+            self.paths = []
+
+        def transcribe(self, path):
+            assert os.path.exists(path)
+            self.paths.append(path)
+            return "hello robot" if len(self.paths) == 1 else "end session"
+
+    import os
+
+    pipe = SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",), mel_buckets=(64, 128, 256),
+        text_buckets=(64, 128),
+    )
+    rec, asr = FakeRecorder(), FileASR()
+    app = FeelMe(pipe, asr=asr, llm=ad.ScriptedLLM(["okay then 🙂"]),
+                 sink=ad.FileSink(str(tmp_path)), recorder=rec,
+                 record_path=wav_path, steps=2, language=None)
+    # run() blocks on input() before each recording; feed two Enters
+    orig_input = builtins.input
+    builtins.input = lambda *a: ""
+    try:
+        app.run()
+    finally:
+        builtins.input = orig_input
+    assert rec.calls == 2
+    assert asr.paths == [wav_path, wav_path]
+
+
+def test_feel_me_needs_audio_without_recorder_raises(monkeypatch):
+    from emojivoice_tpu.apps import adapters as ad
+    from emojivoice_tpu.apps.feel_me import FeelMe
+
+    class FileASR:
+        needs_audio = True
+
+        def transcribe(self, path):  # noqa: ARG002
+            return ""
+
+    monkeypatch.setattr(ad, "default_recorder", lambda: None)
+    with pytest.raises(RuntimeError, match="recorder"):
+        FeelMe(pipeline=None, asr=FileASR(), llm=ad.ScriptedLLM(), sink=ad.FileSink("."))
