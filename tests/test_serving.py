@@ -229,3 +229,28 @@ def test_wait_window_respected(pipe):
         assert res.mel_length > 0
         s = eng.stats()
     assert s["batch_hist"] == {1: 1}
+
+
+def test_engine_over_dp_mesh_matches_meshless(pipe):
+    """The batching engine composes with a data-parallel pipeline: merged
+    batches that divide the mesh's data axis dispatch sharded, and every
+    request's audio matches the meshless engine for the same seed."""
+    from emojivoice_tpu.parallel.tp import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 1)
+    root = tiny_root()
+    dp_pipe = SynthesisPipeline(
+        root.model, pipe.params, root.vocoder, pipe.vocoder_params,
+        cleaners=("basic_cleaners",), mel_buckets=(64, 128), text_buckets=(64,),
+        mesh=mesh)
+    texts = [f"mesh request {i}" for i in range(4)]
+    with BatchingEngine(dp_pipe, max_batch=4, max_wait_ms=2000, batch_buckets=(1, 2, 4)) as eng:
+        futs = [eng.submit(texts[i], spk=i, n_timesteps=2, seed=100 + i) for i in range(4)]
+        got = [f.result(timeout=600) for f in futs]
+        s = eng.stats()
+    assert s["batches"] == 1 and s["batched_rows"] == 4
+    direct = pipe.synthesise(texts, spks=list(range(4)), n_timesteps=2,
+                             seed=[100 + i for i in range(4)])
+    for g, d in zip(got, direct):
+        assert g.mel_length == d.mel_length
+        np.testing.assert_allclose(g.wav, d.wav, atol=1e-4)
