@@ -21,7 +21,7 @@ from __future__ import annotations
 import random
 import threading
 from pathlib import Path
-from queue import Queue
+from queue import Full, Queue
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -241,18 +241,35 @@ class Prefetcher:
     def __iter__(self):
         q: Queue = Queue(maxsize=self.depth)
         _END = object()
+        stop = threading.Event()  # set when the consumer abandons the epoch
+
+        def _put(item) -> bool:
+            # bounded puts so an abandoned consumer (train loop `break` on
+            # max_steps/limit_train_batches) can't strand this thread on a
+            # full queue forever, pinning buffered batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.iterable:
-                    q.put(item)
+                    if not _put(item):
+                        return
             finally:
-                q.put(_END)
+                _put(_END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            stop.set()  # GeneratorExit on early break lands here

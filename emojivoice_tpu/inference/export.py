@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
+from emojivoice_tpu.utils.prng import host_prng_key
+
 
 def export_synthesis(
     pipeline,
@@ -197,7 +199,7 @@ class ExportedSynthesizer:
         self.meta = json.loads(p.with_suffix(".json").read_text())
 
     def __call__(self, x, x_lengths, spks, length_scale=1.0, temperature=0.667, seed=0):
-        rng = jax.random.key_data(jax.random.PRNGKey(seed)).astype(jnp.uint32)
+        rng = host_prng_key(seed)  # host-built: no eager device round trip
         out, mel_lengths = self.exported.call(
             jnp.asarray(x, jnp.int32),
             jnp.asarray(x_lengths, jnp.int32),
@@ -304,7 +306,7 @@ class LoadedBundle:
                               self.meta["mel_buckets"], "mel length")
 
         prog = self._load(f"synth_b{batch}_t{t_bucket}_m{m_bucket}")
-        rng = jax.random.key_data(jax.random.PRNGKey(seed)).astype(jnp.uint32)
+        rng = host_prng_key(seed)  # host-built: no eager device round trip
         out, mel_lengths = prog.call(x, xl, spk_arr, np.float32(length_scale),
                                      np.float32(temperature), rng)
         out = np.asarray(out)
@@ -411,9 +413,10 @@ def main_run(argv=None) -> int:
         texts, spks = [args.text], [args.spk]
 
     bundle = LoadedBundle(args.bundle)
-    length_scale = 1.0 / args.speaking_rate if args.speaking_rate else 1.0
+    # the reference passes speaking_rate straight through as length_scale
+    # (cli.py:297, onnx/infer.py:145), as does our live CLI
     results, timings = bundle.synthesise(
-        texts, spks=spks, length_scale=length_scale, temperature=args.temperature,
+        texts, spks=spks, length_scale=args.speaking_rate, temperature=args.temperature,
         seed=args.seed, language=args.language,
     )
     out_dir = Path(args.output_folder)

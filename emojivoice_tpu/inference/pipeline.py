@@ -184,20 +184,16 @@ class SynthesisPipeline:
         (bf16 feeds the MXU at 2x the f32 rate; params stay f32 at rest)."""
         if self.compute_dtype == jnp.float32:
             return tree
-        return jax.tree.map(
-            lambda a: a.astype(self.compute_dtype)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
-            tree,
-        )
+        from emojivoice_tpu.utils.trees import cast_floats
+
+        return cast_floats(tree, self.compute_dtype)
 
     def _cast_out(self, tree):
         if self.compute_dtype == jnp.float32:
             return tree
-        return jax.tree.map(
-            lambda a: a.astype(jnp.float32)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
-            tree,
-        )
+        from emojivoice_tpu.utils.trees import cast_floats
+
+        return cast_floats(tree, jnp.float32)
 
     # ------------------------------------------------------------------ #
     # compiled stages
@@ -490,8 +486,15 @@ class SynthesisPipeline:
             )
         return results
 
-    def warmup(self, n_timesteps: int = 10, batch: int = 1, fused: bool = False):
-        """Compile the common program(s) ahead of time."""
+    def warmup(self, n_timesteps: int = 10, batch: int = 1, fused: bool = False,
+               keep_mel: bool = True, vocode: bool = True, pcm16: bool = False):
+        """Compile the common program(s) ahead of time.
+
+        The compiled-program key includes keep_mel/vocode/pcm16, so warm with
+        the SAME flags the serving path will use (BatchingEngine.warmup does)
+        — warming only the defaults would leave the first real request paying
+        a full compile."""
         text = "a " * 10
         self.synthesise([text] * batch, spks=[0] * batch if self.model_cfg.n_spks > 1 else None,
-                        n_timesteps=n_timesteps, seed=0, fused=fused)
+                        n_timesteps=n_timesteps, seed=0, fused=fused,
+                        keep_mel=keep_mel, vocode=vocode, pcm16=pcm16)

@@ -52,6 +52,8 @@ from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
+from emojivoice_tpu.utils.buckets import pick_bucket
+
 
 @dataclass
 class _Request:
@@ -159,6 +161,14 @@ class BatchingEngine:
         """Blocking convenience wrapper around submit()."""
         return self.submit(text, **kw).result()
 
+    def warmup(self, n_timesteps: int = 10, batches: Optional[Sequence[int]] = None):
+        """Compile the programs this engine will actually dispatch (the
+        program key includes keep_mel/pcm16, so pipe.warmup() with its
+        defaults would NOT warm the serving path)."""
+        for b in batches if batches is not None else self.batch_buckets:
+            self.pipe.warmup(n_timesteps=n_timesteps, batch=b,
+                             keep_mel=False, vocode=True, pcm16=self.pcm16)
+
     def stats(self) -> dict:
         with self._lock:
             s = dict(self._stats)
@@ -234,7 +244,7 @@ class BatchingEngine:
         results; returns an in-flight record for _finalize, or None if the
         dispatch itself failed (already handled)."""
         n = len(batch)
-        bucket = next(b for b in self.batch_buckets if b >= n)
+        bucket = pick_bucket(n, self.batch_buckets)
         texts = [r.text for r in batch] + [batch[-1].text] * (bucket - n)
         spks = [r.spk for r in batch] + [batch[-1].spk] * (bucket - n)
         # per-row seeds: every row's noise is a function of its own request

@@ -28,6 +28,7 @@ import optax
 
 from emojivoice_tpu.config import ModelConfig, OptimizerConfig
 from emojivoice_tpu.models import MatchaTTS
+from emojivoice_tpu.utils.trees import cast_floats as _cast_floats
 from emojivoice_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
@@ -98,12 +99,6 @@ def _dtype_for(precision: str):
     raise ValueError(f"Unknown precision: {precision!r}")
 
 
-def _cast_floats(tree, dtype):
-    return jax.tree.map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
-        tree,
-    )
 
 
 def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):

@@ -328,18 +328,21 @@ def _run(args) -> int:
             if s not in kept and s != step:
                 p.unlink(missing_ok=True)
 
+    overfit_set = None
+    if args.overfit_batches > 0:
+        # capture the first N batches ONCE — re-slicing per epoch would pick
+        # N different batches from each epoch's reshuffle, defeating the
+        # can-it-memorize sanity check (reference debug/overfit.yaml)
+        import itertools
+
+        overfit_set = list(itertools.islice(iter(batcher), args.overfit_batches))
     try:
         while not done:
             epoch += 1
             if args.max_epochs > 0 and epoch > args.max_epochs:
                 break
             shuffle_epoch, epoch_base = batcher.epoch, batcher.skip_next
-            epoch_batches = Prefetcher(batcher)
-            if args.overfit_batches > 0:
-                import itertools
-
-                first = list(itertools.islice(iter(batcher), args.overfit_batches))
-                epoch_batches = first
+            epoch_batches = Prefetcher(batcher) if overfit_set is None else overfit_set
             for bi, batch in enumerate(epoch_batches):
                 # limit counts batches of the SHUFFLE epoch, so a resumed run
                 # (bi restarts at 0 mid-epoch) honors the same global cap; on
@@ -397,8 +400,10 @@ def _run(args) -> int:
 
         # final save (save_last analog) — skip if the in-loop save already
         # wrote this exact step (orbax raises StepAlreadyExistsError; force=
-        # only bypasses save_interval_steps, not existing steps)
-        if mgr.latest_step() != step_idx:  # all processes (orbax coordinates)
+        # only bypasses save_interval_steps, not existing steps).
+        # fast_dev_run writes NO checkpoints (reference debug/fdr.yaml) —
+        # a smoke run must not pollute an existing out_dir's ckpts/
+        if not args.fast_dev_run and mgr.latest_step() != step_idx:  # all processes (orbax coordinates)
             mgr.save(step_idx, jax.device_get(
                 {"params": state.params, "opt_state": state.opt_state, "step": state.step}),
                 cfg=dataclasses.replace(root, model=model_cfg), force=True)

@@ -146,3 +146,30 @@ def test_load_wav_int16(tmp_path):
     wav, sr = load_wav(str(path))
     assert sr == 22050
     np.testing.assert_allclose(wav, 0.5, atol=1e-4)
+
+
+def test_prefetcher_abandoned_consumer_releases_worker():
+    """Breaking out of a Prefetcher-wrapped loop (max_steps/limit_batches in
+    the train loop) must stop the background thread — an unbounded q.put
+    would strand it forever, pinning buffered batches."""
+    import threading
+    import time
+
+    from emojivoice_tpu.data.dataset import Prefetcher
+
+    produced = []
+
+    def gen():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = iter(Prefetcher(gen(), depth=2))
+    assert next(it) == 0
+    it.close()  # what an abandoned for-loop does at GC time
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before  # worker exited
+    assert len(produced) < 100  # and stopped consuming the source

@@ -167,3 +167,26 @@ def test_observability_utils(tmp_path):
     w.flush()
     lines = (tmp_path / "tb" / "scalars.jsonl").read_text().splitlines()
     assert json.loads(lines[0])["value"] == 1.5
+
+
+def test_run_exported_speaking_rate_matches_live(pipe, tmp_path):
+    """--speaking_rate passes straight through as length_scale (reference
+    cli.py:297, onnx/infer.py:145) — an inversion would make the exported
+    runner slow down where the live CLI speeds up."""
+    from emojivoice_tpu.inference.export import LoadedBundle, export_bundle, main_run
+
+    export_bundle(pipe, str(tmp_path / "b"), text_buckets=[64], mel_buckets=[64, 128],
+                  batches=(1,), n_timesteps=2)
+    out_dir = tmp_path / "wavs"
+    rc = main_run(["--bundle", str(tmp_path / "b"), "--text", "rate check here",
+                   "--spk", "1", "--speaking_rate", "0.7", "--seed", "5",
+                   "--output_folder", str(out_dir)])
+    assert rc == 0
+    bundle = LoadedBundle(str(tmp_path / "b"))
+    direct, _ = bundle.synthesise(["rate check here"], spks=[1], length_scale=0.7, seed=5)
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(sorted(out_dir.glob("*.wav"))[0])
+    want = direct[0]["wav"]
+    assert wav.dtype == np.float32 and wav.size == want.size
+    np.testing.assert_allclose(wav, np.clip(want, -1.0, 1.0), atol=1e-6)

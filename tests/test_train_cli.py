@@ -199,3 +199,56 @@ def test_train_to_audio_proof_tiny(tmp_path):
     assert s["loss_drop"] > 0
     assert s["steps"] == 16
     assert (tmp_path / "proof" / "proof.wav").exists()
+
+
+def test_overfit_batches_repeats_the_same_batches(dataset, monkeypatch):
+    """--overfit_batches N trains on the SAME N batches every epoch — the
+    can-it-memorize check is meaningless if each epoch reshuffles and slices
+    N different ones."""
+    import emojivoice_tpu.parallel.mesh as pmesh
+    import emojivoice_tpu.training.train as tr
+
+    train, val, tmp = dataset
+    seen = []
+    orig = pmesh.shard_batch
+
+    def spy(mesh, batch):
+        seen.append(batch["x"].tobytes())
+        return orig(mesh, batch)
+
+    # train.main imports shard_batch at call time, so patch the source module
+    monkeypatch.setattr(pmesh, "shard_batch", spy)
+    rc = tr.main([
+        "--preset", "tiny",
+        "--train_filelist", str(train),
+        "--valid_filelist", str(val),
+        "--out_dir", str(tmp / "overfit_run"),
+        "--batch_size", "2",
+        "--overfit_batches", "2",
+        "--max_epochs", "2",
+        "--val_every_steps", "0",
+        "--ckpt_every_steps", "0",
+        "--log_every", "1",
+    ])
+    assert rc == 0
+    # two epochs × two batches, second epoch repeats the first byte-for-byte
+    assert len(seen) == 4
+    assert seen[2:] == seen[:2]
+
+
+def test_fast_dev_run_writes_no_checkpoint(dataset):
+    from emojivoice_tpu.training.train import main
+
+    train, val, tmp = dataset
+    out = tmp / "fdr_run"
+    rc = main([
+        "--preset", "tiny",
+        "--train_filelist", str(train),
+        "--valid_filelist", str(val),
+        "--out_dir", str(out),
+        "--batch_size", "2",
+        "--fast_dev_run",
+    ])
+    assert rc == 0
+    ckpts = out / "ckpts"
+    assert not ckpts.exists() or not any(ckpts.iterdir())
