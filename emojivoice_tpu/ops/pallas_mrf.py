@@ -173,6 +173,63 @@ def mrf_stage_pallas(
     return out[:, :, :c_in]
 
 
+def _block_diag_taps(w: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(n_d, k, C, C) → (n_d, k, gC, gC) with g copies of each tap's weight on
+    the block diagonal: lane-group i of the input maps only to lane-group i of
+    the output, so g independent sequences share one matmul."""
+    n_d, k, c, _ = w.shape
+    eye = jnp.eye(g, dtype=w.dtype)
+    out = jnp.einsum("ij,dkab->dkiajb", eye, w)
+    return out.reshape(n_d, k, g * c, g * c)
+
+
+def _pack_lanes(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(B, T, C) → (B/g, T, gC): groups of g consecutive batch items ride the
+    lane dimension of one kernel row."""
+    b, t, c = x.shape
+    return x.reshape(b // g, g, t, c).transpose(0, 2, 1, 3).reshape(b // g, t, g * c)
+
+
+def _unpack_lanes(x: jnp.ndarray, g: int, c: int) -> jnp.ndarray:
+    bg, t, gc = x.shape
+    return x.reshape(bg, t, g, c).transpose(0, 2, 1, 3).reshape(bg * g, t, c)
+
+
+def mrf_stage_pallas_packed(
+    x: jnp.ndarray,
+    weights,
+    kernel_sizes: Tuple[int, ...],
+    dilation_sizes: Tuple[Tuple[int, ...], ...],
+    t_tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Lane-packed MRF stage: batch items share the 128-wide MXU lanes.
+
+    At the late HiFi-GAN stages (C=64, C=32) the plain kernel pads channels
+    up to 128 and wastes 2-4× of every matmul; here g = 128//C batch items
+    are packed into the lane dim with block-diagonal tap weights, so the
+    same (L,128)@(128,128) matmul serves g sequences.  Time shifts, halos
+    and the validity mask are shared (all items ride one padded bucket, as
+    in the fused program), so the single-item kernel runs unchanged.
+
+    Falls back to the unpacked kernel when C ≥ 128 or B % g != 0.
+    """
+    b, t, c = x.shape
+    g = max(1, 128 // c)
+    if g == 1 or b % g != 0:
+        return mrf_stage_pallas(x, weights, kernel_sizes, dilation_sizes,
+                                t_tile=t_tile, interpret=interpret)
+    xp = _pack_lanes(x, g)
+    wp = [
+        (_block_diag_taps(w1, g), jnp.tile(b1, (1, g)),
+         _block_diag_taps(w2, g), jnp.tile(b2, (1, g)))
+        for (w1, b1, w2, b2) in weights
+    ]
+    out = mrf_stage_pallas(xp, wp, kernel_sizes, dilation_sizes,
+                           t_tile=t_tile, interpret=interpret)
+    return _unpack_lanes(out, g, c)
+
+
 def stack_resblock_weights(params: dict, num_kernels: int, stage: int, n_dils: Sequence[int]):
     """Collect flax HiFiGANGenerator params for one upsample stage into the
     stacked layout mrf_stage_pallas expects."""
@@ -240,9 +297,9 @@ def hifigan_apply_pallas(cfg, params: dict, mel: jnp.ndarray, t_tile: int = 2048
         scratch_bytes = 5 * (t_tile + 200) * c_eff * 4
         if _max_resblock_weight_bytes(cfg, c) + scratch_bytes <= vmem_budget:
             weights = stack_resblock_weights(params, num_kernels, i, n_dils)
-            x = mrf_stage_pallas(x, weights, cfg.resblock_kernel_sizes,
-                                 tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
-                                 t_tile=t_tile, interpret=interpret)
+            x = mrf_stage_pallas_packed(x, weights, cfg.resblock_kernel_sizes,
+                                        tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+                                        t_tile=t_tile, interpret=interpret)
         else:
             x = unfused_mrf(x, i)
     x = jax.nn.leaky_relu(x, 0.01)  # torch-default slope, reference parity

@@ -86,3 +86,70 @@ def test_hifigan_apply_pallas_matches_flax(rng):
     got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_mrf_lane_packed_matches_unpacked(rng):
+    """g=128//C batch items share one kernel row via block-diag tap weights."""
+    from emojivoice_tpu.ops.pallas_mrf import mrf_stage_pallas_packed
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(2,),
+        upsample_kernel_sizes=(4,),
+        upsample_initial_channel=64,  # stage-0 channels: 32 → g=4
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 12)))
+    c = 32
+    x = jnp.asarray(rng.normal(size=(8, 96, c)).astype(np.float32))
+    ref = _reference_mrf(params, x, cfg, stage=0)
+    weights = stack_resblock_weights(params, 3, 0, [3, 3, 3])
+    got = mrf_stage_pallas_packed(
+        x, weights, cfg.resblock_kernel_sizes,
+        tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+        t_tile=64, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_mrf_lane_packed_fallback_on_odd_batch(rng):
+    """B not divisible by g falls back to the unpacked kernel, same numerics."""
+    from emojivoice_tpu.ops.pallas_mrf import mrf_stage_pallas_packed
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(2,),
+        upsample_kernel_sizes=(4,),
+        upsample_initial_channel=64,
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 12)))
+    x = jnp.asarray(rng.normal(size=(3, 70, 32)).astype(np.float32))
+    ref = _reference_mrf(params, x, cfg, stage=0)
+    got = mrf_stage_pallas_packed(
+        x, stack_resblock_weights(params, 3, 0, [3, 3, 3]),
+        cfg.resblock_kernel_sizes,
+        tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+        t_tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_hifigan_apply_pallas_batched_packed_matches_flax(rng):
+    """Full generator with lane packing engaged at the narrow stages (B=4)."""
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(5), jnp.zeros((1, 8, 12)))
+    mel = jnp.asarray(rng.normal(size=(4, 25, 12)).astype(np.float32) * 2 - 6)
+    ref = voc.apply(params, mel)
+    got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
