@@ -153,3 +153,26 @@ def test_hifigan_apply_pallas_batched_packed_matches_flax(rng):
     got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_hifigan_apply_pallas_bf16_close_to_f32(rng):
+    """compute_dtype=bf16 runs single-pass MXU matmuls; output stays f32 and
+    lands within audio tolerance (~-40 dB on the tanh-bounded waveform)."""
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(6), jnp.zeros((1, 8, 12)))
+    mel = jnp.asarray(rng.normal(size=(4, 25, 12)).astype(np.float32) * 2 - 6)
+    ref = voc.apply(params, mel)
+    got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True,
+                               compute_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)

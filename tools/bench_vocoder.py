@@ -89,9 +89,22 @@ def main() -> int:
             return hifigan_apply_pallas(
                 cfg, params, mel * (1.0 + 1e-9 * i.astype(jnp.float32)))
 
+        def pallas_bf16_call(i, acc, mel, params):
+            return hifigan_apply_pallas(
+                cfg, params, mel * (1.0 + 1e-9 * i.astype(jnp.float32)),
+                compute_dtype=jnp.bfloat16)
+
         if backend != "cpu":
             try:
                 out[f"pallas_b{b}_ms"] = round(_amortized_ms(pallas_call_, (mel, params)), 3)
+                out[f"pallas_bf16_b{b}_ms"] = round(
+                    _amortized_ms(pallas_bf16_call, (mel, params)), 3)
+                if b == 1:
+                    ref = jax.jit(lambda m, p: voc.apply(p, m))(mel, params)
+                    got = jax.jit(lambda m, p: hifigan_apply_pallas(
+                        cfg, p, m, compute_dtype=jnp.bfloat16))(mel, params)
+                    out["bf16_wav_max_abs_err"] = round(
+                        float(jnp.max(jnp.abs(got - ref))), 5)
             except Exception as e:  # keep the XLA numbers even if the kernel trips
                 out[f"pallas_b{b}_err"] = f"{type(e).__name__}: {e}"[:200]
 
