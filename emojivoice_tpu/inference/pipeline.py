@@ -82,6 +82,7 @@ class SynthesisPipeline:
         cleaners: Sequence[str] = ("english_cleaners2",),
         compute_dtype=jnp.float32,
         mesh=None,
+        vocoder_backend: str = "auto",
     ):
         """``mesh`` scales inference over devices: params are placed by the
         tensor-parallel rules (replicated when the mesh has no/size-1 model
@@ -115,9 +116,27 @@ class SynthesisPipeline:
                 mode=denoiser_mode,
                 num_mels=model_cfg.n_feats,
             )
+        # "auto" engages the fused Pallas MRF stages on real TPUs where they
+        # measured faster than XLA's conv fusion (ops/pallas_mrf.py: -33%
+        # vocoder time at batch 1 via time-split lane packing, -15% at
+        # batch 8); XLA everywhere Pallas can't run (CPU tests, virtual
+        # meshes) or where params may be sharded/cast (mesh/TP, bf16).
+        self._pallas_voc = vocoder_backend == "pallas" or (
+            vocoder_backend == "auto"
+            and mesh is None
+            and compute_dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
         self._stage_a = {}
         self._stage_b = {}
         self._fused = {}
+
+    def _vocode(self, voc_params, mel):
+        if self._pallas_voc:
+            from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+            return hifigan_apply_pallas(self.vocoder_cfg, voc_params, mel)
+        return self.vocoder.apply(voc_params, mel)
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -232,7 +251,7 @@ class SynthesisPipeline:
                 if keep_mel:
                     res["mel"] = out["mel"]
                 if vocode and self.vocoder is not None:
-                    wav = self.vocoder.apply(self._cast_in(voc_params), out["mel"])
+                    wav = self._vocode(self._cast_in(voc_params), out["mel"])
                     if denoise:
                         # denoiser STFT/iSTFT stays f32 (phase math)
                         wav = self.denoiser(wav.astype(jnp.float32), denoiser_strength)
@@ -264,7 +283,7 @@ class SynthesisPipeline:
                 if keep_mel:
                     res["mel"] = out["mel"]
                 if self.vocoder is not None:
-                    wav = self.vocoder.apply(self._cast_in(voc_params), out["mel"])
+                    wav = self._vocode(self._cast_in(voc_params), out["mel"])
                     if denoise:
                         wav = self.denoiser(wav.astype(jnp.float32), denoiser_strength)
                     if pcm16:

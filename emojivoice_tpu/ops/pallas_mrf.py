@@ -99,11 +99,20 @@ def _mrf_kernel_body(x_tile, stacked, kernel_sizes, dilation_sizes, maskv=None):
     return out / len(kernel_sizes)
 
 
-def _resblock_pallas(x, rb_weights, k: int, dils, t_tile: int, interpret: bool):
+def _resblock_pallas(x, rb_weights, k: int, dils, t_tile: int, interpret: bool,
+                     group_c: int = 0, chunk: int = 0, stage_halo: int = 0,
+                     t_true: int | None = None):
     """One fused res-block (2·len(dils) convs + activations) as a Pallas call.
 
     x: (B, T, C) with C already 128-aligned.  Per-call VMEM footprint is one
-    res-block's weights (≤ ~4.3 MB at C=128, k=11) + the tile."""
+    res-block's weights (≤ ~4.3 MB at C=128, k=11) + the tile.
+
+    Time-split mode (chunk > 0): each lane group of ``group_c`` channels
+    carries a different time chunk of the same sequence (see
+    mrf_stage_pallas_timesplit), so the per-layer validity mask maps each
+    lane group to its own global time range — lane group j's local position
+    l sits at global position j*chunk + l - stage_halo of a ``t_true``-long
+    sequence.  All offsets are static; the mask is iota arithmetic."""
     b, t, c = x.shape
     halo = sum((k * d - d) // 2 + (k - 1) // 2 for d in dils)
     t_tile = min(t_tile, t)
@@ -111,6 +120,7 @@ def _resblock_pallas(x, rb_weights, k: int, dils, t_tile: int, interpret: bool):
     t_pad = nt * t_tile
     xp = jnp.pad(x, ((0, 0), (halo, halo + t_pad - t), (0, 0)))
     L = t_tile + 2 * halo
+    tt = t if t_true is None else t_true
 
     def kernel(x_hbm, w1, b1, w2, b2, o_ref, scratch, sem):
         bi = pl.program_id(0)
@@ -121,7 +131,10 @@ def _resblock_pallas(x, rb_weights, k: int, dils, t_tile: int, interpret: bool):
         # positions outside the true [0, t) range act as zeros at every
         # conv input, like per-layer zero padding in the unfused stack
         gpos = ti * t_tile - halo + jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-        maskv = ((gpos >= 0) & (gpos < t)).astype(jnp.float32)
+        if chunk:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+            gpos = gpos + (lane // group_c) * chunk - stage_halo
+        maskv = ((gpos >= 0) & (gpos < tt)).astype(jnp.float32)
         cur = scratch[...]
         for di, d in enumerate(dils):
             h = jax.nn.leaky_relu(cur, LRELU_SLOPE)
@@ -153,6 +166,10 @@ def mrf_stage_pallas(
     t_tile: int = 2048,
     interpret: bool = False,
     compute_dtype=jnp.float32,
+    group_c: int = 0,
+    chunk: int = 0,
+    stage_halo: int = 0,
+    t_true: int | None = None,
 ) -> jnp.ndarray:
     """x (B, T, C) → fused MRF output (B, T, C): one fused Pallas call per
     res-block (bounded VMEM), summed and averaged.
@@ -187,7 +204,9 @@ def mrf_stage_pallas(
         ]
     out = None
     for rb, k, dils in zip(weights, kernel_sizes, dilation_sizes):
-        y = _resblock_pallas(x, rb, k, tuple(dils), t_tile, interpret)
+        y = _resblock_pallas(x, rb, k, tuple(dils), t_tile, interpret,
+                             group_c=group_c, chunk=chunk,
+                             stage_halo=stage_halo, t_true=t_true)
         out = y if out is None else out + y
     out = out / len(kernel_sizes)
     return out[:, :, :c_in]
@@ -233,14 +252,20 @@ def mrf_stage_pallas_packed(
     and the validity mask are shared (all items ride one padded bucket, as
     in the fused program), so the single-item kernel runs unchanged.
 
-    Falls back to the unpacked kernel when C ≥ 128 or B % g != 0.
+    Falls back to time-split packing (chunks of ONE sequence share the
+    lanes) when B % g != 0 — notably batch 1, the single-stream path — and
+    to the unpacked kernel when C ≥ 128.
     """
     b, t, c = x.shape
     g = max(1, 128 // c)
-    if g == 1 or b % g != 0:
+    if g == 1:
         return mrf_stage_pallas(x, weights, kernel_sizes, dilation_sizes,
                                 t_tile=t_tile, interpret=interpret,
                                 compute_dtype=compute_dtype)
+    if b % g != 0:
+        return mrf_stage_pallas_timesplit(x, weights, kernel_sizes, dilation_sizes,
+                                          t_tile=t_tile, interpret=interpret,
+                                          compute_dtype=compute_dtype)
     xp = _pack_lanes(x, g)
     wp = [
         (_block_diag_taps(w1, g), jnp.tile(b1, (1, g)),
@@ -251,6 +276,56 @@ def mrf_stage_pallas_packed(
                            t_tile=t_tile, interpret=interpret,
                            compute_dtype=compute_dtype)
     return _unpack_lanes(out, g, c)
+
+
+def mrf_stage_pallas_timesplit(
+    x: jnp.ndarray,
+    weights,
+    kernel_sizes: Tuple[int, ...],
+    dilation_sizes: Tuple[Tuple[int, ...], ...],
+    t_tile: int = 2048,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Time-split lane packing: chunks of ONE sequence share the MXU lanes.
+
+    Batch packing needs B ≥ 128//C items; single-stream synthesis (B=1) at
+    the narrow waveform-rate stages (C=32/64) would waste 2-4× of every
+    matmul on channel padding.  Here each item's time axis is cut into
+    s = 128//C chunks, overlapped by the stage receptive field
+    (`_halo`, 60 frames for the v1 kernels), and the chunks ride the lane
+    dim with block-diagonal weights.  Exactness: every kept position is
+    ≥ halo frames from its chunk edge, so its full receptive cone sees true
+    overlap data; per-layer zero padding at the REAL sequence edges is
+    reproduced by the kernel's validity mask, which maps lane group j to
+    global positions j*chunk + l - halo (see _resblock_pallas).  Numerics
+    equal the unsplit kernel bit-for-bit paths aside (tests pin vs flax).
+
+    Overhead: 2*halo/chunk extra compute (~0.4% at T=131072, s=4).
+    """
+    b, t, c = x.shape
+    s = max(1, 128 // c)
+    hs = _halo(kernel_sizes, dilation_sizes)
+    chunk = -(-t // s)
+    if s == 1 or chunk <= 2 * hs:  # too short to pay for the overlap
+        return mrf_stage_pallas(x, weights, kernel_sizes, dilation_sizes,
+                                t_tile=t_tile, interpret=interpret,
+                                compute_dtype=compute_dtype)
+    xp = jnp.pad(x, ((0, 0), (hs, hs + s * chunk - t), (0, 0)))
+    xg = jnp.concatenate(
+        [xp[:, j * chunk: j * chunk + chunk + 2 * hs, :] for j in range(s)],
+        axis=-1)  # (b, chunk+2hs, s*c): lane group j = chunk j
+    wp = [
+        (_block_diag_taps(w1, s), jnp.tile(b1, (1, s)),
+         _block_diag_taps(w2, s), jnp.tile(b2, (1, s)))
+        for (w1, b1, w2, b2) in weights
+    ]
+    out = mrf_stage_pallas(xg, wp, kernel_sizes, dilation_sizes,
+                           t_tile=t_tile, interpret=interpret,
+                           compute_dtype=compute_dtype,
+                           group_c=c, chunk=chunk, stage_halo=hs, t_true=t)
+    o = out[:, hs:hs + chunk, :].reshape(b, chunk, s, c)
+    return o.transpose(0, 2, 1, 3).reshape(b, s * chunk, c)[:, :t, :]
 
 
 def stack_resblock_weights(params: dict, num_kernels: int, stage: int, n_dils: Sequence[int]):
@@ -278,14 +353,22 @@ def _max_resblock_weight_bytes(cfg, c: int) -> int:
 
 def hifigan_apply_pallas(cfg, params: dict, mel: jnp.ndarray, t_tile: int = 2048,
                          interpret: bool = False, vmem_budget: int = 12 * 1024 * 1024,
-                         compute_dtype=jnp.float32) -> jnp.ndarray:
+                         compute_dtype=jnp.float32, stages="auto") -> jnp.ndarray:
     """Functional HiFi-GAN generator forward with fused-MRF stages.
 
-    Fuses the multi-receptive-field stack on stages whose stacked weights
-    fit in VMEM alongside the tile — in practice the late, waveform-rate
-    stages where HBM traffic dominates; early wide-channel stages (weights
-    tens of MB) fall back to the unfused res-block math.  Numerics equal to
-    vocoder.HiFiGANGenerator on the shared param tree (tests pin this).
+    `stages` picks the backend per upsample stage:
+      - "auto" (default): fuse where it measured faster than XLA's own conv
+        fusion on v5e (512 mel frames, v1 generator): at B=1 fuse every
+        fitting stage (time-split lane packing: 6.9 ms vs 10.3 XLA, −33%);
+        at larger batches fuse only C ≤ 32 (B=8: 43.2 ms vs 51.1 XLA vs
+        47.8 fuse-all).  XLA is strong where channels fill the 128 lanes;
+        the fusion pays where channel padding would otherwise waste the
+        MXU, and at B=1 where XLA's conv batching has nothing to batch.
+      - "all": fuse every stage whose weights fit in VMEM.
+      - a sequence of bools, one per upsample stage, for explicit control.
+    Stages whose stacked weights don't fit in VMEM always fall back to the
+    unfused res-block math.  Numerics equal vocoder.HiFiGANGenerator on
+    the shared param tree whatever the policy (tests pin this).
 
     compute_dtype=bf16 applies only to the fused MRF tap matmuls (see
     mrf_stage_pallas); the pre/post/upsample convs and any unfused stages
@@ -323,7 +406,14 @@ def hifigan_apply_pallas(cfg, params: dict, mel: jnp.ndarray, t_tile: int = 2048
         # budget must cover one res-block's weights + input tile + the
         # kernel's live temporaries (~4 tile-sized arrays in the conv chain)
         scratch_bytes = 5 * (t_tile + 200) * c_eff * 4
-        if _max_resblock_weight_bytes(cfg, c) + scratch_bytes <= vmem_budget:
+        fits = _max_resblock_weight_bytes(cfg, c) + scratch_bytes <= vmem_budget
+        if stages == "auto":
+            want = mel.shape[0] == 1 or 128 // c >= 4
+        elif stages == "all":
+            want = True
+        else:
+            want = bool(stages[i])
+        if fits and want:
             weights = stack_resblock_weights(params, num_kernels, i, n_dils)
             x = mrf_stage_pallas_packed(x, weights, cfg.resblock_kernel_sizes,
                                         tuple(tuple(d) for d in cfg.resblock_dilation_sizes),

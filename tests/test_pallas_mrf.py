@@ -113,7 +113,8 @@ def test_pallas_mrf_lane_packed_matches_unpacked(rng):
 
 
 def test_pallas_mrf_lane_packed_fallback_on_odd_batch(rng):
-    """B not divisible by g falls back to the unpacked kernel, same numerics."""
+    """B not divisible by g routes to time-split, whose chunks are too short
+    here (< 2×halo), landing on the unpacked kernel — same numerics."""
     from emojivoice_tpu.ops.pallas_mrf import mrf_stage_pallas_packed
 
     cfg = HiFiGANConfig(
@@ -153,6 +154,104 @@ def test_hifigan_apply_pallas_batched_packed_matches_flax(rng):
     got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("b,t_len,t_tile", [(1, 135, 32), (3, 97, 64), (1, 136, 128)])
+def test_pallas_mrf_timesplit_matches_flax(rng, b, t_len, t_tile):
+    """Time-split lane packing (chunks of one sequence share the MXU lanes)
+    is exact, including sequence edges, non-divisible lengths, and tile
+    boundaries inside chunks."""
+    from emojivoice_tpu.ops.pallas_mrf import mrf_stage_pallas_timesplit
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(2,),
+        upsample_kernel_sizes=(4,),
+        upsample_initial_channel=64,  # stage-0 channels: 32 → s=4 chunks
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),  # stage halo 10 → chunks pay
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(7), jnp.zeros((1, 8, 12)))
+    x = jnp.asarray(rng.normal(size=(b, t_len, 32)).astype(np.float32))
+    ref = _reference_mrf(params, x, cfg, stage=0)
+    got = mrf_stage_pallas_timesplit(
+        x, stack_resblock_weights(params, 2, 0, [2, 2]),
+        cfg.resblock_kernel_sizes,
+        tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+        t_tile=t_tile, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_mrf_packed_routes_batch1_to_timesplit(rng):
+    """mrf_stage_pallas_packed at B=1 engages the time-split path (long
+    enough chunks) and stays exact vs the flax composition."""
+    from emojivoice_tpu.ops.pallas_mrf import mrf_stage_pallas_packed
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(2,),
+        upsample_kernel_sizes=(4,),
+        upsample_initial_channel=64,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(8), jnp.zeros((1, 8, 12)))
+    x = jnp.asarray(rng.normal(size=(1, 150, 32)).astype(np.float32))
+    ref = _reference_mrf(params, x, cfg, stage=0)
+    got = mrf_stage_pallas_packed(
+        x, stack_resblock_weights(params, 2, 0, [2, 2]),
+        cfg.resblock_kernel_sizes,
+        tuple(tuple(d) for d in cfg.resblock_dilation_sizes),
+        t_tile=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_hifigan_apply_pallas_batch1_timesplit_matches_flax(rng):
+    """Full generator at B=1 with time-split packing engaged at every fused
+    stage (the single-stream serving shape)."""
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=64,  # stages: C=32 (s=4), C=16 (s=8)
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(9), jnp.zeros((1, 8, 12)))
+    mel = jnp.asarray(rng.normal(size=(1, 30, 12)).astype(np.float32) * 2 - 6)
+    ref = voc.apply(params, mel)
+    got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True,
+                               stages="all")
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_hifigan_apply_pallas_stage_policy(rng):
+    """Explicit per-stage backend choice is numerics-neutral."""
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(10), jnp.zeros((1, 8, 12)))
+    mel = jnp.asarray(rng.normal(size=(4, 25, 12)).astype(np.float32) * 2 - 6)
+    ref = voc.apply(params, mel)
+    for policy in ((False, True), (True, False), "auto", "all"):
+        got = hifigan_apply_pallas(cfg, params, mel, t_tile=64, interpret=True,
+                                   stages=policy)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
 def test_hifigan_apply_pallas_bf16_close_to_f32(rng):
