@@ -17,11 +17,14 @@ partitions cannot overlap).
 Numerics are pinned against the flax res-block composition in
 tests/test_pallas_mrf.py (interpret mode) and verified on real v5e.
 
-Measured honestly (v5e, v1 generator, 512 mel frames): 42 ms vs XLA's
-38 ms end-to-end — XLA's own conv fusion is already strong at these sizes,
-and the kernel's 128-lane channel padding wastes MXU work at the C=32
-stage.  Kept as a tested foundation for further tuning (e.g. multi-tile
-channel packing); the default vocoder path remains plain XLA.
+Lane packing is what makes the fusion pay: the kernel pads channels to the
+128-wide lanes, so at the narrow waveform-rate stages (C=64/32) multiple
+independent sequences share one matmul via block-diagonal tap weights —
+batch items when B divides 128//C (mrf_stage_pallas_packed), overlapping
+time chunks of a single sequence otherwise (mrf_stage_pallas_timesplit).
+Measured on v5e (v1 generator, 512 mel frames, hifigan_apply_pallas
+stages="auto"): batch-1 6.9 ms vs 10.3 XLA (-33%), batch-8 43.2 vs 51.1
+(-15%).  SynthesisPipeline uses this path on real TPUs by default.
 """
 
 from __future__ import annotations
