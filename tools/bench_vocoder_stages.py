@@ -54,6 +54,7 @@ def main() -> int:
     from emojivoice_tpu.ops.convs import conv1d, conv_transpose1d
     from emojivoice_tpu.ops.pallas_mrf import (
         LRELU_SLOPE,
+        _max_resblock_weight_bytes,
         mrf_stage_pallas_packed,
         stack_resblock_weights,
     )
@@ -119,10 +120,15 @@ def main() -> int:
         t_cur, c_cur = t_cur * u, c_cur // 2
 
         timed(f"mrf{i}_xla", lambda x, i=i: unfused_mrf(x, i), (b, t_cur, c_cur))
-        weights = stack_resblock_weights(params, num_kernels, i, n_dils)
-        dils = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
-        timed(f"mrf{i}_pallas", lambda x, w=weights, d=dils: mrf_stage_pallas_packed(
-            x, w, cfg.resblock_kernel_sizes, d), (b, t_cur, c_cur))
+        # same VMEM gate as hifigan_apply_pallas: a stage whose res-block
+        # weights exceed VMEM would only produce a remote-compile error here
+        if _max_resblock_weight_bytes(cfg, c_cur) <= 12 * 1024 * 1024:
+            weights = stack_resblock_weights(params, num_kernels, i, n_dils)
+            dils = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+            timed(f"mrf{i}_pallas", lambda x, w=weights, d=dils: mrf_stage_pallas_packed(
+                x, w, cfg.resblock_kernel_sizes, d), (b, t_cur, c_cur))
+        else:
+            out[f"mrf{i}_pallas_skipped"] = "weights exceed VMEM (production path unfuses this stage)"
 
     timed("conv_post", lambda x: jnp.tanh(conv1d(
         jax.nn.leaky_relu(x, 0.01), p["conv_post"]["kernel"],
