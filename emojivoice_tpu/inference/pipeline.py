@@ -91,7 +91,13 @@ class SynthesisPipeline:
         collectives over ICI, the inference twin of the training mesh
         (reference has nothing comparable; its serving is one GPU,
         cli.py:438-447).  Batches not divisible by the data axis run
-        replicated."""
+        replicated.
+
+        ``vocoder_backend`` selects the HiFi-GAN compute path: ``"auto"``
+        (default) fuses the Pallas MRF stages on real TPUs when params are
+        replicated f32, else XLA; ``"xla"`` forces XLA conv fusion;
+        ``"pallas"`` forces the fused kernel (raises unless f32/unsharded).
+        Unknown values raise."""
         self.model_cfg = model_cfg
         self.model = MatchaTTS(cfg=model_cfg)
         self.mesh = mesh
@@ -121,6 +127,24 @@ class SynthesisPipeline:
         # vocoder time at batch 1 via time-split lane packing, -15% at
         # batch 8); XLA everywhere Pallas can't run (CPU tests, virtual
         # meshes) or where params may be sharded/cast (mesh/TP, bf16).
+        if vocoder_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"vocoder_backend={vocoder_backend!r}: expected 'auto', 'xla', or 'pallas'"
+            )
+        if vocoder_backend == "pallas":
+            # the kernel's VMEM scratch is f32 and expects replicated params —
+            # the same conditions "auto" checks, but an explicit ask must fail
+            # loudly instead of crashing at compile time deep in pallas_call
+            if compute_dtype != jnp.float32:
+                raise ValueError(
+                    "vocoder_backend='pallas' requires compute_dtype=float32 "
+                    "(the fused MRF kernel stages f32 VMEM scratch)"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "vocoder_backend='pallas' is incompatible with mesh/TP-sharded "
+                    "params; use vocoder_backend='auto' or 'xla' with a mesh"
+                )
         self._pallas_voc = vocoder_backend == "pallas" or (
             vocoder_backend == "auto"
             and mesh is None

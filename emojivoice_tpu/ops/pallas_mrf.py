@@ -354,6 +354,29 @@ def _max_resblock_weight_bytes(cfg, c: int) -> int:
     return worst
 
 
+def mrf_stage_unfused(cfg, p: dict, x: jnp.ndarray, stage: int) -> jnp.ndarray:
+    """Reference (unfused) MRF stage: the generator's res-block math as plain
+    XLA convs — the fallback when a stage doesn't fit VMEM or the policy says
+    XLA, and the oracle the bench tools time against the fused kernel."""
+    from emojivoice_tpu.ops.convs import conv1d
+
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    out = None
+    for j, (k, dils) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+        rb = p[f"resblocks_{stage * num_kernels + j}"]
+        cur = x
+        for di, d in enumerate(dils):
+            t_ = jax.nn.leaky_relu(cur, LRELU_SLOPE)
+            t_ = conv1d(t_, rb[f"convs1_{di}"]["kernel"], rb[f"convs1_{di}"]["bias"],
+                        padding=(k * d - d) // 2, dilation=d)
+            t_ = jax.nn.leaky_relu(t_, LRELU_SLOPE)
+            t_ = conv1d(t_, rb[f"convs2_{di}"]["kernel"], rb[f"convs2_{di}"]["bias"],
+                        padding=(k - 1) // 2)
+            cur = cur + t_
+        out = cur if out is None else out + cur
+    return out / num_kernels
+
+
 def hifigan_apply_pallas(cfg, params: dict, mel: jnp.ndarray, t_tile: int = 2048,
                          interpret: bool = False, vmem_budget: int = 12 * 1024 * 1024,
                          compute_dtype=jnp.float32, stages="auto") -> jnp.ndarray:
@@ -383,21 +406,17 @@ def hifigan_apply_pallas(cfg, params: dict, mel: jnp.ndarray, t_tile: int = 2048
     num_kernels = len(cfg.resblock_kernel_sizes)
     n_dils = [len(d) for d in cfg.resblock_dilation_sizes]
 
-    def unfused_mrf(x, stage):
-        out = None
-        for j, (k, dils) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
-            rb = p[f"resblocks_{stage * num_kernels + j}"]
-            cur = x
-            for di, d in enumerate(dils):
-                t_ = jax.nn.leaky_relu(cur, LRELU_SLOPE)
-                t_ = conv1d(t_, rb[f"convs1_{di}"]["kernel"], rb[f"convs1_{di}"]["bias"],
-                            padding=(k * d - d) // 2, dilation=d)
-                t_ = jax.nn.leaky_relu(t_, LRELU_SLOPE)
-                t_ = conv1d(t_, rb[f"convs2_{di}"]["kernel"], rb[f"convs2_{di}"]["bias"],
-                            padding=(k - 1) // 2)
-                cur = cur + t_
-            out = cur if out is None else out + cur
-        return out / num_kernels
+    if isinstance(stages, str):
+        if stages not in ("auto", "all"):
+            raise ValueError(
+                f"stages={stages!r}: expected 'auto', 'all', or a per-stage "
+                f"bool sequence of length {len(cfg.upsample_rates)}"
+            )
+    elif len(stages) != len(cfg.upsample_rates):
+        raise ValueError(
+            f"stages has {len(stages)} entries for {len(cfg.upsample_rates)} "
+            "upsample stages"
+        )
 
     x = conv1d(mel, p["conv_pre"]["kernel"], p["conv_pre"]["bias"], padding=3)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -423,7 +442,7 @@ def hifigan_apply_pallas(cfg, params: dict, mel: jnp.ndarray, t_tile: int = 2048
                                         t_tile=t_tile, interpret=interpret,
                                         compute_dtype=compute_dtype)
         else:
-            x = unfused_mrf(x, i)
+            x = mrf_stage_unfused(cfg, p, x, i)
     x = jax.nn.leaky_relu(x, 0.01)  # torch-default slope, reference parity
     x = conv1d(x, p["conv_post"]["kernel"], p["conv_post"]["bias"], padding=3)
     return jnp.tanh(x)[..., 0]

@@ -275,3 +275,50 @@ def test_hifigan_apply_pallas_bf16_close_to_f32(rng):
                                compute_dtype=jnp.bfloat16)
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+
+def test_hifigan_apply_pallas_rejects_bad_stages(rng):
+    """Unknown policy strings and wrong-length bool sequences raise instead
+    of being silently indexed per character (a "none"/"xla" typo used to
+    fuse every stage)."""
+    import pytest
+
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(10), jnp.zeros((1, 8, 12)))
+    mel = jnp.asarray(rng.normal(size=(2, 25, 12)).astype(np.float32) * 2 - 6)
+    with pytest.raises(ValueError, match="stages"):
+        hifigan_apply_pallas(cfg, params, mel, interpret=True, stages="none")
+    with pytest.raises(ValueError, match="entries"):
+        hifigan_apply_pallas(cfg, params, mel, interpret=True, stages=(True,))
+
+
+def test_mrf_stage_unfused_matches_generator(rng):
+    """The hoisted unfused MRF stage is the generator's math (the bench
+    tools import it, so a generator change can't silently diverge)."""
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    cfg = HiFiGANConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        num_mels=12,
+    )
+    voc = HiFiGANGenerator(cfg=cfg)
+    params = voc.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 12)))
+    mel = jnp.asarray(rng.normal(size=(2, 25, 12)).astype(np.float32) * 2 - 6)
+    ref = voc.apply(params, mel)
+    got = hifigan_apply_pallas(cfg, params, mel, interpret=True,
+                               stages=(False, False))  # all stages unfused
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -152,3 +152,17 @@ def test_pcm16_close_to_f32(pipe):
 def test_mel_only_mode(pipe):
     res = pipe.synthesise(["no vocoder"], spks=[1], n_timesteps=2, seed=0, vocode=False)[0]
     assert res.wav.size == 0 and res.mel.shape[0] == res.mel_length
+
+
+def test_vocoder_backend_validated():
+    """Typos and unsupported combinations fail loudly at construction, not
+    at compile time deep inside pallas_call (review finding)."""
+    import jax.numpy as jnp
+
+    root = tiny_root()
+    with pytest.raises(ValueError, match="vocoder_backend"):
+        SynthesisPipeline.from_random(root, vocoder_backend="Pallas")
+    with pytest.raises(ValueError, match="float32"):
+        SynthesisPipeline.from_random(
+            root, vocoder_backend="pallas", compute_dtype=jnp.bfloat16
+        )

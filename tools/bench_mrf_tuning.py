@@ -13,7 +13,6 @@ Run: python tools/bench_mrf_tuning.py   (TPU; one JSON line)
 
 from __future__ import annotations
 
-import datetime as _dt
 import json
 import os
 import sys
@@ -22,14 +21,7 @@ sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def _med_ms(fn, n=5):
-    ts = []
-    for _ in range(n):
-        t0 = _dt.datetime.now()
-        fn()
-        ts.append((_dt.datetime.now() - t0).total_seconds() * 1e3)
-    return float(np.median(ts))
+from bench_util import amortized_ms
 
 
 def main() -> int:
@@ -58,17 +50,11 @@ def main() -> int:
 
     def timed(name, fn, x_shape):
         x = jnp.asarray(rng.normal(size=x_shape).astype(np.float32))
-
-        @jax.jit
-        def rep(x):
-            def body(i, acc):
-                o = fn(x * (1.0 + 1e-9 * i.astype(jnp.float32)))
-                return acc + jnp.sum(o[..., ::1024].astype(jnp.float32))
-            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
-
         try:
-            float(rep(x))
-            out[name] = round(_med_ms(lambda: float(rep(x))) / reps, 3)
+            ms = amortized_ms(
+                lambda i, acc, x: fn(x * (1.0 + 1e-9 * i.astype(jnp.float32))),
+                (x,), n_hi=reps, stride=1024)
+            out[name] = round(ms, 3)
         except Exception as e:  # noqa: BLE001
             out[f"{name}_err"] = f"{type(e).__name__}: {e}"[:120]
 

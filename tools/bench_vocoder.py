@@ -17,44 +17,13 @@ Loop-carried input perturbation defeats LICM/CSE.
 
 from __future__ import annotations
 
-import datetime as dt
 import json
 import os
 import sys
 
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _time_median(fn, n=5):
-    import numpy as np
-    ts = []
-    for _ in range(n):
-        t0 = dt.datetime.now()
-        fn()
-        ts.append((dt.datetime.now() - t0).total_seconds() * 1e3)
-    return float(np.median(ts))
-
-
-def _amortized_ms(make_call, warm_args, n_hi=8):
-    """(rep_hi - rep_1) / (n_hi - 1) with rep = in-jit fori_loop of the call."""
-    import jax
-    import jax.numpy as jnp
-
-    def make_rep(n):
-        @jax.jit
-        def rep(*args):
-            def body(i, acc):
-                out = make_call(i, acc, *args)
-                return acc + jnp.sum(out[..., ::4096].astype(jnp.float32))
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return rep
-
-    rep1, rep_hi = make_rep(1), make_rep(n_hi)
-    _ = float(rep1(*warm_args))
-    _ = float(rep_hi(*warm_args))
-    t1 = _time_median(lambda: float(rep1(*warm_args)))
-    th = _time_median(lambda: float(rep_hi(*warm_args)))
-    return (th - t1) / (n_hi - 1)
+from bench_util import amortized_ms as _amortized_ms
 
 
 def main() -> int:

@@ -17,7 +17,6 @@ from the MXU roofline the gap is shifts/DMA/layout, not math.
 from __future__ import annotations
 
 import argparse
-import datetime as _dt
 import json
 import os
 import sys
@@ -26,14 +25,7 @@ sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def _med_ms(fn, n=5):
-    ts = []
-    for _ in range(n):
-        t0 = _dt.datetime.now()
-        fn()
-        ts.append((_dt.datetime.now() - t0).total_seconds() * 1e3)
-    return float(np.median(ts))
+from bench_util import amortized_ms
 
 
 def main() -> int:
@@ -56,6 +48,7 @@ def main() -> int:
         LRELU_SLOPE,
         _max_resblock_weight_bytes,
         mrf_stage_pallas_packed,
+        mrf_stage_unfused,
         stack_resblock_weights,
     )
     from emojivoice_tpu.vocoder import HiFiGANGenerator
@@ -72,39 +65,16 @@ def main() -> int:
     out = {"backend": jax.default_backend(), "batch": args.batch,
            "frames": args.frames}
 
-    def timed(name, fn, x_shape, n_out_ch=None):
-        """Jit fn with an args.reps-deep fori_loop; report amortized ms."""
+    def timed(name, fn, x_shape):
+        """Amortized per-call ms via the shared two-depth slope method."""
         x = jnp.asarray(rng.normal(size=x_shape).astype(np.float32))
-
-        @jax.jit
-        def rep(x):
-            def body(i, acc):
-                o = fn(x * (1.0 + 1e-9 * i.astype(jnp.float32)))
-                return acc + jnp.sum(o[..., ::1024].astype(jnp.float32))
-            return jax.lax.fori_loop(0, args.reps, body, jnp.float32(0.0))
-
         try:
-            float(rep(x))  # compile + warm
-            out[f"{name}_ms"] = round(_med_ms(lambda: float(rep(x))) / args.reps, 3)
+            ms = amortized_ms(
+                lambda i, acc, x: fn(x * (1.0 + 1e-9 * i.astype(jnp.float32))),
+                (x,), n_hi=args.reps, stride=1024)
+            out[f"{name}_ms"] = round(ms, 3)
         except Exception as e:  # keep going; record the failure
             out[f"{name}_err"] = f"{type(e).__name__}: {e}"[:160]
-
-    def unfused_mrf(x, stage):
-        o = None
-        for j, (k, dils) in enumerate(zip(cfg.resblock_kernel_sizes,
-                                          cfg.resblock_dilation_sizes)):
-            rb = p[f"resblocks_{stage * num_kernels + j}"]
-            cur = x
-            for di, d in enumerate(dils):
-                t_ = jax.nn.leaky_relu(cur, LRELU_SLOPE)
-                t_ = conv1d(t_, rb[f"convs1_{di}"]["kernel"], rb[f"convs1_{di}"]["bias"],
-                            padding=(k * d - d) // 2, dilation=d)
-                t_ = jax.nn.leaky_relu(t_, LRELU_SLOPE)
-                t_ = conv1d(t_, rb[f"convs2_{di}"]["kernel"], rb[f"convs2_{di}"]["bias"],
-                            padding=(k - 1) // 2)
-                cur = cur + t_
-            o = cur if o is None else o + cur
-        return o / num_kernels
 
     b, t = args.batch, args.frames
     timed("conv_pre", lambda x: conv1d(x, p["conv_pre"]["kernel"],
@@ -119,7 +89,8 @@ def main() -> int:
             stride=u, padding=(k - u) // 2), (b, t_cur, c_cur))
         t_cur, c_cur = t_cur * u, c_cur // 2
 
-        timed(f"mrf{i}_xla", lambda x, i=i: unfused_mrf(x, i), (b, t_cur, c_cur))
+        timed(f"mrf{i}_xla", lambda x, i=i: mrf_stage_unfused(cfg, p, x, i),
+              (b, t_cur, c_cur))
         # same VMEM gate as hifigan_apply_pallas: a stage whose res-block
         # weights exceed VMEM would only produce a remote-compile error here
         if _max_resblock_weight_bytes(cfg, c_cur) <= 12 * 1024 * 1024:
