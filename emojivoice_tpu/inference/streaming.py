@@ -28,12 +28,19 @@ import numpy as np
 
 
 class StreamingVocoder:
-    def __init__(self, vocoder, vocoder_params, chunk_frames: int = 64, overlap: int = 8):
+    def __init__(self, vocoder, vocoder_params, chunk_frames: int = 64, overlap: int = 8,
+                 vocode_fn=None):
+        """``vocode_fn(params, mel) -> wav`` overrides the plain flax forward —
+        the pipeline passes its backend-policy call so chunks ride the same
+        fused Pallas MRF path as monolithic vocoding on real TPUs (and the
+        exactness contract compares like with like)."""
         self.vocoder = vocoder
         self.params = vocoder_params
         self.chunk_frames = chunk_frames
         self.overlap = overlap
         self.ups = vocoder.cfg.total_upsample
+        apply = vocode_fn if vocode_fn is not None else (
+            lambda params, window: self.vocoder.apply(params, window))
 
         ov, ck, ups = overlap, chunk_frames, self.ups
 
@@ -43,7 +50,7 @@ class StreamingVocoder:
         def make(lo_ctx: int, hi_ctx: int):
             @jax.jit
             def vocode(params, window):
-                wav = self.vocoder.apply(params, window)
+                wav = apply(params, window)
                 return wav[:, lo_ctx * ups : (lo_ctx + ck) * ups]
 
             return vocode
@@ -54,7 +61,7 @@ class StreamingVocoder:
         # single-chunk utterances (the common short-reply case): whole mel in
         # one call — built once here, NOT jax.jit-ed per stream() call, which
         # would retrace every utterance on the latency-critical path
-        self._full = jax.jit(lambda params, window: self.vocoder.apply(params, window))
+        self._full = jax.jit(lambda params, window: apply(params, window))
 
     def stream(self, mel: np.ndarray, mel_length: Optional[int] = None) -> Iterator[np.ndarray]:
         """mel (T, n_mels) with T a multiple of chunk_frames (the bucket) →
@@ -119,6 +126,9 @@ def stream_synthesise(
     )[0]
     sv = getattr(pipeline, "_streaming_vocoder", None)
     if sv is None or sv.chunk_frames != chunk_frames or sv.overlap != overlap:
-        sv = StreamingVocoder(pipeline.vocoder, pipeline.vocoder_params, chunk_frames, overlap)
+        # the pipeline's backend-policy call: fused Pallas MRF on real TPUs,
+        # plain flax elsewhere — streaming and monolithic vocode identically
+        sv = StreamingVocoder(pipeline.vocoder, pipeline.vocoder_params, chunk_frames,
+                              overlap, vocode_fn=pipeline._vocode)
         pipeline._streaming_vocoder = sv
     yield from sv.stream(res.mel, res.mel_length)

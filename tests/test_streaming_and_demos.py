@@ -174,3 +174,33 @@ def test_record_audio_tools(tmp_path, rng):
                          tmp_path / "train.txt")
     assert len(rows) == 2
     assert rows[0].endswith("|12|first sentence")
+
+
+def test_streaming_pallas_backend_matches_its_monolithic(pipe):
+    """With the pipeline's fused-Pallas vocode_fn (interpret mode here), the
+    exactness contract still holds against the SAME backend's monolithic
+    call — on real TPUs streaming rides the pipeline's backend policy."""
+    from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
+
+    rng = np.random.default_rng(2)
+    mel = rng.normal(size=(128, 12)).astype(np.float32) * 2 - 6
+
+    def pallas_vocode(params, window):
+        return hifigan_apply_pallas(pipe.vocoder_cfg, params, window,
+                                    t_tile=64, interpret=True, stages="all")
+
+    sv = StreamingVocoder(pipe.vocoder, pipe.vocoder_params, chunk_frames=32,
+                          overlap=8, vocode_fn=pallas_vocode)
+    streamed = np.concatenate(list(sv.stream(mel, mel_length=100)))
+    mono = np.asarray(pallas_vocode(pipe.vocoder_params, jnp.asarray(mel[None])))[0]
+    np.testing.assert_allclose(streamed, mono[: len(streamed)], atol=1e-6)
+
+
+def test_stream_synthesise_uses_pipeline_backend(pipe):
+    """stream_synthesise wires the pipeline's _vocode into the cached
+    StreamingVocoder (backend consistency on real TPUs)."""
+    pipe._streaming_vocoder = None
+    chunks = list(stream_synthesise(pipe, "backend check", spk=0, n_timesteps=2,
+                                    seed=1, chunk_frames=16, overlap=8))
+    assert sum(len(c) for c in chunks) > 0
+    assert pipe._streaming_vocoder is not None
