@@ -13,10 +13,16 @@ from typing import Optional, Sequence
 import numpy as np
 
 from emojivoice_tpu.text import cleaners as cleaners
-from emojivoice_tpu.text.symbols import PAD_ID, symbols
+from emojivoice_tpu.text.symbols import N_VOCAB, PAD_ID, symbols
 from emojivoice_tpu.utils.masks import intersperse
 
-_symbol_to_id = {s: i for i, s in enumerate(symbols)}
+# FIRST occurrence wins for the table's duplicated symbols ("'" appears five
+# times): the first id (174) is inside the trained n_vocab=178 rows, while
+# the reference's later-wins comprehension maps "'" to 182 and would index
+# past its own embedding (symbols.py quirk note)
+_symbol_to_id: dict = {}
+for _i, _s in enumerate(symbols):
+    _symbol_to_id.setdefault(_s, _i)
 _id_to_symbol = dict(enumerate(symbols))
 
 
@@ -26,15 +32,19 @@ def text_to_sequence(text: str, cleaner_names: Sequence[str]):
     Returns (ids, cleaned_text) like the reference.  Unknown symbols (e.g.
     espeak output outside the table) are skipped with the same effect as the
     reference's KeyError-free lookup path expects clean input; skipping keeps
-    robustness for arbitrary LLM output.
+    robustness for arbitrary LLM output.  Ids ≥ n_vocab (table entries with
+    no trained embedding row — the embedding lookup would NaN-fill, the
+    reference would crash) are skipped the same way.
     """
     clean_text = _clean_text(text, cleaner_names)
-    sequence = [_symbol_to_id[ch] for ch in clean_text if ch in _symbol_to_id]
+    sequence = [i for ch in clean_text
+                if (i := _symbol_to_id.get(ch, N_VOCAB)) < N_VOCAB]
     return sequence, clean_text
 
 
 def cleaned_text_to_sequence(cleaned_text: str):
-    return [_symbol_to_id[ch] for ch in cleaned_text if ch in _symbol_to_id]
+    return [i for ch in cleaned_text
+            if (i := _symbol_to_id.get(ch, N_VOCAB)) < N_VOCAB]
 
 
 def sequence_to_text(sequence) -> str:

@@ -198,13 +198,42 @@ def phonemizer_backend(language: str = "en") -> str:
 
 _UNKNOWN_CHAR_RE = None
 
+# Letters NFD decomposition can't reduce to ASCII; spelled out the way the
+# languages read them aloud.
+_TRANSLITERATIONS = {"ß": "ss", "œ": "oe", "æ": "ae", "ø": "o", "Œ": "oe",
+                     "Æ": "ae", "Ø": "o", "ð": "d", "þ": "th", "ł": "l"}
+
+
+def _strip_accents(text: str) -> str:
+    """é→e, ü→u, ñ→n, ß→ss: accented Latin letters transliterate to their
+    base letter instead of being dropped by the symbol-table filter."""
+    import unicodedata
+
+    out = []
+    for ch in text:
+        if ch in _TRANSLITERATIONS:
+            out.append(_TRANSLITERATIONS[ch])
+            continue
+        decomposed = unicodedata.normalize("NFD", ch)
+        out.append("".join(c for c in decomposed
+                           if unicodedata.category(c) != "Mn"))
+    return "".join(out)
+
 
 def _grapheme_fallback(text: str) -> str:
-    """Strip characters outside the symbol table so grapheme mode always maps."""
+    """Map text onto the symbol table without a phonemizer: kana
+    transliterate to romaji, accented Latin letters to their base letters,
+    anything still outside the table (e.g. kanji) is stripped."""
+    from emojivoice_tpu.text.kana import kana_to_romaji
     from emojivoice_tpu.text.symbols import symbols
 
+    text = _strip_accents(kana_to_romaji(text)).lower()
+    # hyphen sits only in the untrained id range (symbols.py N_VOCAB note);
+    # keep the word boundary it marks instead of letting the id filter
+    # glue the words together
+    text = text.replace("-", " ")
     table = set(symbols)
-    return "".join(ch for ch in text if ch in table)
+    return collapse_whitespace("".join(ch for ch in text if ch in table))
 
 
 def _phonemize(text: str, language: str) -> str:

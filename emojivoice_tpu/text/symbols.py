@@ -6,11 +6,14 @@ keithito/tacotron) or embedding ids in released checkpoints would be
 scrambled.
 
 Fork quirk (reproduced deliberately): the fork extended the IPA set so the
-table has 198 entries (including a duplicated "'"), while the model config
+table has 198 entries (including "'" five times), while the model config
 still declares ``n_vocab: 178`` (configs/model/matcha.yaml:9).  Ids ≥ 178
-would overflow the embedding; they never occur in espeak output for the
-shipped languages, and lookups keep first-occurrence ids like the
-reference's dict construction does.
+would overflow the embedding — the reference's later-duplicate-wins dict
+maps "'" to 182 and would index past its own embedding on any raw
+apostrophe (it survives only because espeak IPA output never contains
+one).  Here lookups keep FIRST-occurrence ids (apostrophe → 174, a trained
+id) and ``text_to_sequence`` drops ids ≥ N_VOCAB, the same silent-skip
+semantics as unknown characters.
 """
 
 _pad = "_"
@@ -24,3 +27,6 @@ symbols = [_pad] + list(_punctuation) + list(_letters) + list(_letters_ipa)
 
 PAD_ID = 0
 SPACE_ID = symbols.index(" ")
+# embedding rows in released checkpoints (configs/model/matcha.yaml:9);
+# ids ≥ N_VOCAB exist in the table but have no trained embedding
+N_VOCAB = 178
