@@ -11,6 +11,7 @@ the batch-8 programs go through the tunnel otherwise.
 
 from __future__ import annotations
 
+import argparse
 import datetime as dt
 import json
 import os
@@ -21,6 +22,14 @@ sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max_batch", type=int, default=8,
+                    help="largest coalesced dispatch (batch bucket)")
+    ap.add_argument("--clients", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=32,
+                    help="total requests per measured round")
+    args = ap.parse_args()
+
     import jax
     import numpy as np
 
@@ -38,11 +47,13 @@ def main() -> int:
     pipe = SynthesisPipeline.from_random(cleaners=("basic_cleaners",))
     print(f"[serving] backend={jax.default_backend()}", file=sys.stderr)
 
-    n_requests = 32
-    with BatchingEngine(pipe, max_batch=8, max_wait_ms=15, batch_buckets=(1, 8)) as eng:
-        # warm/compile the batch-8 programs once
+    n_clients, B = args.clients, args.max_batch
+    n_requests = max(args.requests, n_clients)
+    with BatchingEngine(pipe, max_batch=B, max_wait_ms=15,
+                        batch_buckets=(1, B)) as eng:
+        # warm/compile the batch-B programs once
         t0 = dt.datetime.now()
-        futs = [eng.submit(texts[i % 4], spk=70 + i % 8, n_timesteps=10) for i in range(8)]
+        futs = [eng.submit(texts[i % 4], spk=70 + i % 8, n_timesteps=10) for i in range(B)]
         warm = [f.result() for f in futs]
         print(f"[serving] warmup (compile) {(dt.datetime.now()-t0).total_seconds():.1f}s",
               file=sys.stderr)
@@ -50,13 +61,13 @@ def main() -> int:
         def client(k):
             # a realistic open-loop client: submit a burst, then collect
             futs = [eng.submit(texts[(k + i) % 4], spk=70 + (k * 3 + i) % 8, n_timesteps=10)
-                    for i in range(n_requests // 4)]
+                    for i in range(n_requests // n_clients)]
             return [f.result() for f in futs]
 
         def round_():
             t0 = dt.datetime.now()
-            with ThreadPoolExecutor(4) as ex:
-                outs = [r for rs in ex.map(client, range(4)) for r in rs]
+            with ThreadPoolExecutor(n_clients) as ex:
+                outs = [r for rs in ex.map(client, range(n_clients)) for r in rs]
             return outs, (dt.datetime.now() - t0).total_seconds()
 
         round_()  # settle: any residual bucket-combination compiles land here
@@ -73,7 +84,9 @@ def main() -> int:
     audio_s = float(sum(len(r.wav) / r.sample_rate for r in all_out))
     print(json.dumps({
         "metric": "serving_throughput",
-        "utterances_per_s": round(n_requests / wall, 2),
+        "max_batch": B,
+        "clients": n_clients,
+        "utterances_per_s": round(len(all_out) / wall, 2),
         "audio_s_per_wall_s": round(audio_s / wall, 1),
         "wall_s": round(wall, 2),
         "mean_batch": round(stats["mean_batch"], 2),
