@@ -110,6 +110,9 @@ class BatchingEngine:
             "wait_s_sum": 0.0,
             "dispatch_s_sum": 0.0,
         }
+        # recent per-request queue waits for percentile reporting (bounded:
+        # stats() stays O(window), old traffic ages out)
+        self._waits = collections.deque(maxlen=1024)
         self._closed = False
         self._worker = threading.Thread(target=self._run, name="batching-engine", daemon=True)
         self._worker.start()
@@ -173,10 +176,14 @@ class BatchingEngine:
         with self._lock:
             s = dict(self._stats)
             s["batch_hist"] = dict(self._stats["batch_hist"])
+            waits = sorted(self._waits)
         n_b = max(s["batches"], 1)
         s["mean_batch"] = s["batched_rows"] / n_b
         s["mean_wait_ms"] = 1e3 * s["wait_s_sum"] / max(s["requests"], 1)
         s["mean_dispatch_ms"] = 1e3 * s["dispatch_s_sum"] / max(s["batches"] + s["failed_batches"], 1)
+        if waits:  # queue-wait percentiles over the recent window (≤1024 reqs)
+            s["wait_ms_p50"] = 1e3 * waits[len(waits) // 2]
+            s["wait_ms_p95"] = 1e3 * waits[min(len(waits) - 1, int(len(waits) * 0.95))]
         return s
 
     def close(self, timeout: float = 30.0):
@@ -282,6 +289,7 @@ class BatchingEngine:
             self._stats["batch_hist"][bucket] += 1
             self._stats["dispatch_s_sum"] += dt_s
             self._stats["wait_s_sum"] += sum(t0 - r.t_submit for r in batch)
+            self._waits.extend(t0 - r.t_submit for r in batch)
         for r, res in zip(batch, results):
             self._resolve(r.future, result=res)
 

@@ -29,6 +29,9 @@ def test_concurrent_requests_merge_into_one_batch(pipe):
     assert s["batched_rows"] == 4
     assert s["batch_hist"] == {4: 1}
     assert s["pad_rows"] == 0
+    # queue-wait percentiles over the recent window: present, sane, ordered
+    assert 0 <= s["wait_ms_p50"] <= s["wait_ms_p95"]
+    assert s["wait_ms_p95"] <= 1e3 * 300  # bounded by the observed futures' wait
     # different speakers in the merged batch produce different audio
     n = min(results[0].wav.size, results[1].wav.size)
     assert not np.allclose(results[0].wav[:n], results[1].wav[:n])
