@@ -200,8 +200,9 @@ _UNKNOWN_CHAR_RE = None
 
 # Letters NFD decomposition can't reduce to ASCII; spelled out the way the
 # languages read them aloud.
-_TRANSLITERATIONS = {"ß": "ss", "œ": "oe", "æ": "ae", "ø": "o", "Œ": "oe",
-                     "Æ": "ae", "Ø": "o", "ð": "d", "þ": "th", "ł": "l"}
+_TRANSLITERATIONS = {"ß": "ss", "ẞ": "ss", "œ": "oe", "æ": "ae", "ø": "o",
+                     "Œ": "oe", "Æ": "ae", "Ø": "o", "ð": "d", "Ð": "d",
+                     "þ": "th", "Þ": "th", "ł": "l", "Ł": "l"}
 
 
 def _strip_accents(text: str) -> str:
