@@ -257,13 +257,19 @@ class LoadedBundle:
         return seqs
 
     def synthesise(self, texts, spks=None, length_scale: float = 1.0,
-                   temperature: float = 0.667, seed: int = 0, language=None):
+                   temperature: float = 0.667, seed: int = 0, language=None,
+                   mel_bucket: Optional[int] = None):
         """Returns (results, timings): results = list of dicts with wav/mel,
         mel_length; timings = {"wall_s", "rtf"} over the whole padded batch.
 
         More texts than the largest exported batch bucket are served in
         chunks of that bucket (the reference's onnx runner handles any count
-        via dynamic axes; the static-bucket analog is chunking)."""
+        via dynamic axes; the static-bucket analog is chunking).
+
+        The synth programs compute durations in-graph; the separate duration
+        program exists only to CHOOSE a mel bucket.  When the bundle has one
+        mel bucket, or the caller pins one via ``mel_bucket``, that call (and
+        its transfer round trip) is skipped — one program, one dispatch."""
         import datetime as _dt
 
         max_batch = max(self.meta["batches"])
@@ -273,7 +279,8 @@ class LoadedBundle:
                 chunk_spks = spks[i:i + max_batch] if spks is not None else None
                 res, t = self.synthesise(texts[i:i + max_batch], spks=chunk_spks,
                                          length_scale=length_scale, temperature=temperature,
-                                         seed=seed + i, language=language)
+                                         seed=seed + i, language=language,
+                                         mel_bucket=mel_bucket)
                 all_results.extend(res)
                 walls += t["wall_s"]
                 audio += t["wall_s"] / t["rtf"] if t["rtf"] else 0.0
@@ -298,12 +305,20 @@ class LoadedBundle:
             for i in range(batch):
                 spk_arr[i] = int(spks[min(i, n - 1)])
 
-        dur = self._load(f"dur_b{batch}_t{t_bucket}")
-        y_lengths = np.asarray(dur.call(x, xl, spk_arr, np.float32(length_scale)))
-        from emojivoice_tpu.utils.masks import fix_len_compatibility
+        if mel_bucket is not None:
+            if mel_bucket not in self.meta["mel_buckets"]:
+                raise ValueError(f"mel_bucket {mel_bucket} not in exported grid "
+                                 f"{self.meta['mel_buckets']}")
+            m_bucket = int(mel_bucket)
+        elif len(self.meta["mel_buckets"]) == 1:
+            m_bucket = int(self.meta["mel_buckets"][0])
+        else:
+            dur = self._load(f"dur_b{batch}_t{t_bucket}")
+            y_lengths = np.asarray(dur.call(x, xl, spk_arr, np.float32(length_scale)))
+            from emojivoice_tpu.utils.masks import fix_len_compatibility
 
-        m_bucket = self._pick(int(fix_len_compatibility(int(y_lengths.max()))),
-                              self.meta["mel_buckets"], "mel length")
+            m_bucket = self._pick(int(fix_len_compatibility(int(y_lengths.max()))),
+                                  self.meta["mel_buckets"], "mel length")
 
         prog = self._load(f"synth_b{batch}_t{t_bucket}_m{m_bucket}")
         rng = host_prng_key(seed)  # host-built: no eager device round trip
@@ -311,6 +326,14 @@ class LoadedBundle:
                                      np.float32(temperature), rng)
         out = np.asarray(out)
         mel_lengths = np.asarray(mel_lengths).astype(int)
+        if (mel_bucket is not None and mel_lengths.max() >= m_bucket
+                and m_bucket < max(self.meta["mel_buckets"])):
+            # the pinned bucket saturated (in-graph durations clamp at the
+            # bucket, so audio would be silently truncated) and the bundle
+            # has headroom: redo via the duration program's accurate pick
+            return self.synthesise(texts, spks=spks, length_scale=length_scale,
+                                   temperature=temperature, seed=seed,
+                                   language=language)
         wall = (_dt.datetime.now() - t0).total_seconds()
 
         results = []

@@ -82,6 +82,57 @@ def test_export_bundle_roundtrip(pipe, tmp_path):
         assert r["mel_length"] > 0 and np.isfinite(r["wav"]).all()
 
 
+def test_bundle_skips_duration_program_when_bucket_known(pipe, tmp_path):
+    """The synth programs compute durations in-graph; the dur program only
+    CHOOSES a mel bucket.  Single-mel-bucket bundles and callers pinning
+    ``mel_bucket=`` skip that dispatch (one call, one round trip); a pinned
+    bucket that saturates escalates to the accurate dur-based pick instead
+    of silently truncating audio."""
+    import pytest
+
+    from emojivoice_tpu.inference.export import LoadedBundle, export_bundle
+
+    export_bundle(pipe, str(tmp_path / "b1"), text_buckets=[64],
+                  mel_buckets=[128], batches=(1,), n_timesteps=2)
+    bundle = LoadedBundle(str(tmp_path / "b1"))
+    loads = []
+    orig = bundle._load
+    bundle._load = lambda name: (loads.append(name), orig(name))[1]
+    results, timings = bundle.synthesise(["hello there"], spks=[1], seed=5)
+    assert not [n for n in loads if n.startswith("dur_")]  # skipped
+    assert timings["mel_bucket"] == 128 and results[0]["mel_length"] > 0
+
+    # two mel buckets: default path consults the dur program...
+    export_bundle(pipe, str(tmp_path / "b2"), text_buckets=[64],
+                  mel_buckets=[64, 128], batches=(1,), n_timesteps=2)
+    bundle2 = LoadedBundle(str(tmp_path / "b2"))
+    loads2 = []
+    orig2 = bundle2._load
+    bundle2._load = lambda name: (loads2.append(name), orig2(name))[1]
+    res_dur, t_dur = bundle2.synthesise(["hello there"], spks=[1], seed=5)
+    assert [n for n in loads2 if n.startswith("dur_")]
+
+    # ...pinning the same bucket skips it and reproduces the result
+    loads2.clear()
+    res_pin, t_pin = bundle2.synthesise(["hello there"], spks=[1], seed=5,
+                                        mel_bucket=t_dur["mel_bucket"])
+    assert not [n for n in loads2 if n.startswith("dur_")]
+    assert t_pin["mel_bucket"] == t_dur["mel_bucket"]
+    np.testing.assert_array_equal(res_pin[0]["wav"], res_dur[0]["wav"])
+
+    # a pinned bucket the utterance saturates escalates to the dur-based
+    # pick instead of returning silently truncated audio
+    if t_dur["mel_bucket"] == 128:  # durations genuinely overflow 64
+        res_esc, t_esc = bundle2.synthesise(["hello there"], spks=[1], seed=5,
+                                            mel_bucket=64)
+        assert t_esc["mel_bucket"] == 128
+        np.testing.assert_array_equal(res_esc[0]["wav"], res_dur[0]["wav"])
+
+    # a bucket outside the exported grid is an explicit error
+    with pytest.raises(ValueError, match="not in exported grid"):
+        bundle2.synthesise(["hello"], spks=[1], mel_bucket=999)
+
+
 def test_export_without_vocoder_emits_mel_programs(tmp_path):
     """A pipeline with no vocoder must export mel programs (and an honest
     manifest) rather than crash on vocoder_cfg=None — review regression."""
