@@ -413,6 +413,9 @@ def main_run(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=0.667)
     p.add_argument("--speaking_rate", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mel_bucket", type=int, default=None,
+                   help="pin an exported mel bucket to skip the duration "
+                        "program (escalates automatically if it saturates)")
     p.add_argument("--output_folder", default="exported_out")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -440,7 +443,7 @@ def main_run(argv=None) -> int:
     # (cli.py:297, onnx/infer.py:145), as does our live CLI
     results, timings = bundle.synthesise(
         texts, spks=spks, length_scale=args.speaking_rate, temperature=args.temperature,
-        seed=args.seed, language=args.language,
+        seed=args.seed, language=args.language, mel_bucket=args.mel_bucket,
     )
     out_dir = Path(args.output_folder)
     out_dir.mkdir(parents=True, exist_ok=True)
