@@ -36,12 +36,24 @@ def export_synthesis(
     denoiser_strength: float = 0.00025,
     platforms: Optional[list] = None,
     batch: int = 1,
+    pcm16: bool = False,
 ) -> Path:
     """Serialize the fused text→wav program with weights baked in.
 
     Exported signature: f(x (B, text_bucket) i32, x_lengths (B,) i32,
-    spks (B,) i32, length_scale f32, temperature f32, rng_seed (2,) u32)
+    spks (B,) i32, length_scale f32, temperature f32, rng_keys (B, 2) u32)
     → (wav (B, mel_bucket·ups) f32 | mel, mel_lengths).
+
+    RNG is PER ROW: row i draws ``normal(key_i, (mel_bucket, n_feats))·T``
+    in f32 — the same stream a batch-1 call with that key draws (threefry
+    streams depend on element count, not leading batch dims), so a request
+    served inside a merged batch reproduces its direct call exactly.  This
+    is what lets the serving engine run on a bundle without giving up
+    per-request seeds (the live pipeline's (B, 2) seed path, pipeline.py).
+
+    ``pcm16=True`` quantizes the wav to int16 on device (same op as the
+    live fused path's pcm16 mode) — halves the device→host payload, which
+    is the dominant cost on a tunnel/network-attached chip.
     """
     model = pipeline.model
     params = pipeline.params
@@ -53,17 +65,28 @@ def export_synthesis(
 
     n_spks = pipeline.model_cfg.n_spks
 
-    def fn(x, x_lengths, spks, length_scale, temperature, rng_key):
+    n_feats = pipeline.model_cfg.n_feats
+
+    def fn(x, x_lengths, spks, length_scale, temperature, rng_keys):
         from emojivoice_tpu.models import MatchaTTS
 
-        key = jax.random.wrap_key_data(rng_key, impl="threefry2x32")
+        # per-row explicit noise, f32 (the noise-dtype invariant); matches
+        # the live pipeline's _row_noise so exported == live per seed
+        z = jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.wrap_key_data(k, impl="threefry2x32"),
+                (mel_bucket, n_feats), jnp.float32)
+        )(rng_keys) * temperature
         out = model.apply(params, x, x_lengths, mel_bucket, n_timesteps, temperature,
                           spks if n_spks > 1 else None,
-                          length_scale, key, method=MatchaTTS.synthesise)
+                          length_scale, None, z, method=MatchaTTS.synthesise)
         if voc is not None:
             wav = voc.apply(voc_params, out["mel"])
             if denoiser is not None and denoiser_strength > 0:
                 wav = denoiser(wav, denoiser_strength)
+            if pcm16:
+                wav = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
+                wav = (wav * 32767.0).astype(jnp.int16)
             return wav, out["mel_lengths"]
         return out["mel"], out["mel_lengths"]
 
@@ -73,7 +96,7 @@ def export_synthesis(
         jax.ShapeDtypeStruct((batch,), jnp.int32),
         jax.ShapeDtypeStruct((), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.float32),
-        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        jax.ShapeDtypeStruct((batch, 2), jnp.uint32),
     )
     exported = jax_export.export(jax.jit(fn), platforms=platforms)(*args)
     blob = exported.serialize()
@@ -91,6 +114,8 @@ def export_synthesis(
         "n_spks": pipeline.model_cfg.n_spks,
         "upsample": pipeline.vocoder_cfg.total_upsample if with_vocoder else None,
         "platforms": list(exported.platforms),
+        "pcm16": bool(pcm16 and with_vocoder),
+        "rng_per_row": True,
     }
     out_path.with_suffix(".json").write_text(json.dumps(meta, indent=2))
     return out_path.with_suffix(".stablehlo")
@@ -139,6 +164,7 @@ def export_bundle(
     with_vocoder: bool = True,
     denoiser_strength: float = 0.00025,
     platforms: Optional[list] = None,
+    pcm16: bool = False,
 ) -> Path:
     """Export a MANIFEST of programs over (batch × text_bucket × mel_bucket).
 
@@ -166,6 +192,7 @@ def export_bundle(
                     pipeline, str(out / name), text_bucket=t, mel_bucket=m,
                     n_timesteps=n_timesteps, with_vocoder=with_vocoder,
                     denoiser_strength=denoiser_strength, platforms=platforms, batch=b,
+                    pcm16=pcm16,
                 )
                 programs.append({"batch": b, "text_bucket": t, "mel_bucket": m,
                                  "synth": name, "durations": dur_name})
@@ -182,6 +209,8 @@ def export_bundle(
         "sample_rate": 22050,
         "hop_length": 256,
         "upsample": pipeline.vocoder_cfg.total_upsample if with_vocoder else None,
+        "pcm16": bool(pcm16 and with_vocoder),
+        "rng_per_row": True,
         "cleaners": list(pipeline.cleaners),
         "programs": programs,
     }
@@ -199,7 +228,17 @@ class ExportedSynthesizer:
         self.meta = json.loads(p.with_suffix(".json").read_text())
 
     def __call__(self, x, x_lengths, spks, length_scale=1.0, temperature=0.667, seed=0):
-        rng = host_prng_key(seed)  # host-built: no eager device round trip
+        # host-built keys: no eager device round trip.  Per-row programs
+        # (rng_per_row) take (B, 2) keys — an int seed gives row i the
+        # stream of seed+i, a sequence pins each row's stream explicitly.
+        if self.meta.get("rng_per_row"):
+            b = self.meta["batch"]
+            seeds = [seed + i for i in range(b)] if isinstance(seed, int) else list(seed)
+            if len(seeds) != b:
+                raise ValueError(f"got {len(seeds)} seeds for batch {b}")
+            rng = np.stack([host_prng_key(int(s)) for s in seeds])
+        else:  # pre-per-row bundle: one (2,) key for the whole batch
+            rng = host_prng_key(seed)
         out, mel_lengths = self.exported.call(
             jnp.asarray(x, jnp.int32),
             jnp.asarray(x_lengths, jnp.int32),
@@ -257,7 +296,7 @@ class LoadedBundle:
         return seqs
 
     def synthesise(self, texts, spks=None, length_scale: float = 1.0,
-                   temperature: float = 0.667, seed: int = 0, language=None,
+                   temperature: float = 0.667, seed=0, language=None,
                    mel_bucket: Optional[int] = None):
         """Returns (results, timings): results = list of dicts with wav/mel,
         mel_length; timings = {"wall_s", "rtf"} over the whole padded batch.
@@ -265,6 +304,12 @@ class LoadedBundle:
         More texts than the largest exported batch bucket are served in
         chunks of that bucket (the reference's onnx runner handles any count
         via dynamic axes; the static-bucket analog is chunking).
+
+        ``seed`` may be an int (text k draws the stream of seed+k, chunking
+        included) or a per-text sequence pinning each row's stream — a row
+        reproduces a direct batch-1 call with the same seed exactly
+        (per-row keys in the exported program; pre-per-row bundles take
+        only an int and share one batch stream).
 
         The synth programs compute durations in-graph; the separate duration
         program exists only to CHOOSE a mel bucket.  When the bundle has one
@@ -277,9 +322,10 @@ class LoadedBundle:
             all_results, walls, audio = [], 0.0, 0.0
             for i in range(0, len(texts), max_batch):
                 chunk_spks = spks[i:i + max_batch] if spks is not None else None
+                chunk_seed = seed + i if isinstance(seed, int) else list(seed)[i:i + max_batch]
                 res, t = self.synthesise(texts[i:i + max_batch], spks=chunk_spks,
                                          length_scale=length_scale, temperature=temperature,
-                                         seed=seed + i, language=language,
+                                         seed=chunk_seed, language=language,
                                          mel_bucket=mel_bucket)
                 all_results.extend(res)
                 walls += t["wall_s"]
@@ -321,7 +367,18 @@ class LoadedBundle:
                                   self.meta["mel_buckets"], "mel length")
 
         prog = self._load(f"synth_b{batch}_t{t_bucket}_m{m_bucket}")
-        rng = host_prng_key(seed)  # host-built: no eager device round trip
+        # host-built keys: no eager device round trip
+        if self.meta.get("rng_per_row"):
+            row_seeds = ([seed + i for i in range(n)] if isinstance(seed, int)
+                         else [int(s) for s in seed])
+            if len(row_seeds) != n:
+                raise ValueError(f"got {len(row_seeds)} seeds for {n} texts")
+            row_seeds += [row_seeds[-1]] * (batch - n)  # pad rows trimmed anyway
+            rng = np.stack([host_prng_key(s) for s in row_seeds])
+        elif not isinstance(seed, int):
+            raise ValueError("per-row seeds need a bundle exported with rng_per_row")
+        else:
+            rng = host_prng_key(seed)
         out, mel_lengths = prog.call(x, xl, spk_arr, np.float32(length_scale),
                                      np.float32(temperature), rng)
         out = np.asarray(out)
@@ -341,6 +398,8 @@ class LoadedBundle:
         for i in range(n):  # pad rows trimmed
             ml = int(mel_lengths[i])
             if self.meta["with_vocoder"]:
+                # pcm16 bundles return int16 samples (device-quantized);
+                # f32 bundles return float samples — dtype says which
                 results.append({"wav": out[i, : ml * ups], "mel_length": ml})
             else:
                 results.append({"mel": out[i, :ml], "mel_length": ml})
@@ -369,6 +428,8 @@ def main_export(argv=None) -> int:
     p.add_argument("--mel_buckets", type=int, nargs="+", default=None)
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8])
     p.add_argument("--no_vocoder", action="store_true")
+    p.add_argument("--pcm16", action="store_true",
+                   help="quantize wav to int16 on device (halves transfer)")
     p.add_argument("--denoiser_strength", type=float, default=0.00025)
     p.add_argument("--platforms", nargs="+", default=None,
                    help="e.g. tpu cpu — export multi-platform StableHLO")
@@ -391,7 +452,7 @@ def main_export(argv=None) -> int:
         pipe, args.output_dir, text_buckets=args.text_buckets, mel_buckets=args.mel_buckets,
         batches=tuple(args.batches), n_timesteps=args.steps,
         with_vocoder=not args.no_vocoder, denoiser_strength=args.denoiser_strength,
-        platforms=args.platforms,
+        platforms=args.platforms, pcm16=args.pcm16,
     )
     meta = json.loads(manifest.read_text())
     print(f"wrote bundle: {manifest.parent} ({len(meta['programs'])} programs, "
@@ -450,9 +511,14 @@ def main_run(argv=None) -> int:
     sr = bundle.meta["sample_rate"]
     for i, res in enumerate(results):
         if "wav" in res:
-            from emojivoice_tpu.inference.cli import save_wav
+            if res["wav"].dtype == np.int16:  # pcm16 bundle: write PCM directly
+                from scipy.io import wavfile
 
-            save_wav(str(out_dir / f"utterance_{i+1:03d}.wav"), res["wav"], sr)
+                wavfile.write(out_dir / f"utterance_{i+1:03d}.wav", sr, res["wav"])
+            else:
+                from emojivoice_tpu.inference.cli import save_wav
+
+                save_wav(str(out_dir / f"utterance_{i+1:03d}.wav"), res["wav"], sr)
         else:
             np.save(out_dir / f"utterance_{i+1:03d}_mel.npy", res["mel"])
     print(json.dumps({"n": len(results), **timings, "output_folder": str(out_dir)}))

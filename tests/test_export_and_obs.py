@@ -82,6 +82,67 @@ def test_export_bundle_roundtrip(pipe, tmp_path):
         assert r["mel_length"] > 0 and np.isfinite(r["wav"]).all()
 
 
+def test_bundle_per_row_seeds_reproduce_direct_calls(pipe, tmp_path):
+    """Exported programs take per-row RNG keys: a text served inside a
+    merged batch draws the identical noise stream as a direct batch-1 call
+    with the same seed at the same mel bucket (threefry streams depend on
+    element count, not leading batch dims) — the bundle keeps the serving
+    engine's per-request reproducibility guarantee."""
+    from emojivoice_tpu.inference.export import LoadedBundle, export_bundle
+
+    export_bundle(pipe, str(tmp_path / "b"), text_buckets=[64],
+                  mel_buckets=[128], batches=(1, 2), n_timesteps=2)
+    bundle = LoadedBundle(str(tmp_path / "b"))
+    assert bundle.meta["rng_per_row"] is True
+
+    texts = ["hello there", "a different utterance"]
+    merged, _ = bundle.synthesise(texts, spks=[1, 2], seed=[11, 22])
+    solo_a, _ = bundle.synthesise([texts[0]], spks=[1], seed=[11])
+    solo_b, _ = bundle.synthesise([texts[1]], spks=[2], seed=[22])
+    # same program family, same per-row keys → same rows (XLA may compile
+    # batch-1 and batch-2 programs with different reduction order: allclose)
+    np.testing.assert_allclose(merged[0]["wav"], solo_a[0]["wav"], atol=1e-5)
+    np.testing.assert_allclose(merged[1]["wav"], solo_b[0]["wav"], atol=1e-5)
+
+    # int seed semantics: text k draws the stream of seed+k
+    merged2, _ = bundle.synthesise(texts, spks=[1, 2], seed=7)
+    solo2, _ = bundle.synthesise([texts[1]], spks=[2], seed=[8])
+    np.testing.assert_allclose(merged2[1]["wav"], solo2[0]["wav"], atol=1e-5)
+
+
+def test_pcm16_bundle_quantizes_on_device(pipe, tmp_path):
+    """pcm16 export quantizes the wav to int16 in-graph (same op as the live
+    fused path's pcm16 mode, pipeline.py), halving the device→host payload;
+    samples match the f32 bundle after host-side quantization to 1 LSB."""
+    from emojivoice_tpu.inference.export import LoadedBundle, export_bundle
+
+    export_bundle(pipe, str(tmp_path / "f32"), text_buckets=[64],
+                  mel_buckets=[128], batches=(1,), n_timesteps=2)
+    export_bundle(pipe, str(tmp_path / "pcm"), text_buckets=[64],
+                  mel_buckets=[128], batches=(1,), n_timesteps=2, pcm16=True)
+    meta = json.loads((tmp_path / "pcm" / "manifest.json").read_text())
+    assert meta["pcm16"] is True
+
+    f32, _ = LoadedBundle(str(tmp_path / "f32")).synthesise(
+        ["hello there"], spks=[1], seed=5)
+    pcm, _ = LoadedBundle(str(tmp_path / "pcm")).synthesise(
+        ["hello there"], spks=[1], seed=5)
+    assert pcm[0]["wav"].dtype == np.int16
+    ref = (np.clip(f32[0]["wav"], -1.0, 1.0) * 32767.0).astype(np.int16)
+    assert np.abs(pcm[0]["wav"].astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+    # the runner CLI writes the int16 samples as a PCM wav verbatim
+    from emojivoice_tpu.inference.export import main_run
+
+    assert main_run(["--bundle", str(tmp_path / "pcm"), "--text", "hello there",
+                     "--spk", "1", "--seed", "5",
+                     "--output_folder", str(tmp_path / "out")]) == 0
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(tmp_path / "out" / "utterance_001.wav")
+    assert sr == 22050 and data.dtype == np.int16 and data.size > 0
+
+
 def test_bundle_skips_duration_program_when_bucket_known(pipe, tmp_path):
     """The synth programs compute durations in-graph; the dur program only
     CHOOSES a mel bucket.  Single-mel-bucket bundles and callers pinning

@@ -49,8 +49,10 @@ def main() -> int:
     pipe = SynthesisPipeline.from_random(cleaners=("basic_cleaners",), seed=0)
 
     t0 = dt.datetime.now()
+    # pcm16: the same on-device int16 quantization bench.py's live fused
+    # path uses — halves the D2H payload, the dominant tunnel cost
     export_bundle(pipe, args.bundle, text_buckets=[256], mel_buckets=[512],
-                  batches=(1,), n_timesteps=args.steps)
+                  batches=(1,), n_timesteps=args.steps, pcm16=True)
     export_s = (dt.datetime.now() - t0).total_seconds()
     runner = LoadedBundle(args.bundle)
 
@@ -71,7 +73,10 @@ def main() -> int:
         return len(results[0]["wav"]) / sr
 
     def run_live():
-        res = pipe.synthesise([TEXT], spks=[3], n_timesteps=args.steps, seed=0)[0]
+        # the headline bench.py configuration: fused single dispatch, pcm16
+        res = pipe.synthesise([TEXT], spks=[3], n_timesteps=args.steps, seed=0,
+                              fused=True, fused_mel_bucket=512,
+                              keep_mel=False, pcm16=True)[0]
         return len(res.wav) / sr
 
     exp_mean, exp_std, exp_audio = timed(run_exported)
