@@ -160,12 +160,19 @@ def make_handler(pipeline, defaults, engine=None):
 def serve(pipeline, host: str = "127.0.0.1", port: int = 7860, defaults=None,
           batching: bool = False, max_batch: int = 8, max_wait_ms: float = 10.0):
     defaults = defaults or {"text": "Hey there! I am an emoji voice. 😎",
-                            "steps": 10, "temperature": 0.667, "length_scale": 1.0, "spk": 79}
+                            # a bundle-backed pipeline fixes the step count at
+                            # export: the form must post its operating point
+                            "steps": getattr(pipeline, "n_timesteps", 10),
+                            "temperature": 0.667, "length_scale": 1.0, "spk": 79}
     engine = None
     if batching:
         from emojivoice_tpu.inference.serving import BatchingEngine
 
-        engine = BatchingEngine(pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        kw = {}
+        if hasattr(pipeline, "batch_buckets"):  # bundle-backed: exported grid only
+            kw["batch_buckets"] = pipeline.batch_buckets
+            max_batch = min(max_batch, max(pipeline.batch_buckets))
+        engine = BatchingEngine(pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms, **kw)
     server = ThreadingHTTPServer((host, port), make_handler(pipeline, defaults, engine))
     server.engine = engine  # callers close it after shutdown()
     print(f"[webapp] serving on http://{host}:{server.server_address[1]}"
@@ -178,6 +185,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint_path", default=None)
     p.add_argument("--vocoder", default=None)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--bundle", default=None,
+                   help="serve an exported AOT bundle (emojivoice-export) "
+                        "instead of live model code; steps/denoiser are "
+                        "fixed to the bundle's exported operating point")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--language", default="en")
@@ -190,10 +201,15 @@ def main(argv=None) -> int:
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
     from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
 
-    cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
-    if args.random_init or not args.checkpoint_path:
+    if args.bundle:
+        from emojivoice_tpu.inference.export import BundleSynthesisPipeline
+
+        pipe = BundleSynthesisPipeline(args.bundle)
+    elif args.random_init or not args.checkpoint_path:
+        cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
         pipe = SynthesisPipeline.from_random(cleaners=cleaners)
     else:
+        cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
         pipe = SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder,
                                                         cleaners=cleaners)
     server = serve(pipe, args.host, args.port, batching=args.batching,

@@ -247,6 +247,7 @@ class ExportedSynthesizer:
             jnp.float32(temperature),
             rng,
         )
+        out, mel_lengths = jax.device_get((out, mel_lengths))  # one fetch, one RTT
         return np.asarray(out), np.asarray(mel_lengths)
 
 
@@ -334,8 +335,35 @@ class LoadedBundle:
                        "batch": max_batch, "chunks": -(-len(texts) // max_batch)}
             return all_results, timings
 
+        return self.fetch(self.dispatch(texts, spks=spks, length_scale=length_scale,
+                                        temperature=temperature, seed=seed,
+                                        language=language, mel_bucket=mel_bucket))
+
+    def dispatch(self, texts, spks=None, length_scale: float = 1.0,
+                 temperature: float = 0.667, seed=0, language=None,
+                 mel_bucket: Optional[int] = None) -> dict:
+        """Enqueue ONE padded-batch program on the device WITHOUT fetching
+        its outputs (JAX dispatch is asynchronous).  Returns an in-flight
+        record for :meth:`fetch` — a caller can dispatch the next batch
+        while this one computes (the serving engine's depth-1 pipeline).
+        ``len(texts)`` must fit the largest exported batch bucket; the
+        chunking loop lives in :meth:`synthesise`."""
+        import datetime as _dt
+
         t0 = _dt.datetime.now()
-        seqs = self.encode_texts(texts, language)
+        seqs, cleaned = [], []
+        from emojivoice_tpu import text as textlib
+        from emojivoice_tpu.utils import intersperse
+
+        cleaners = tuple(self.meta["cleaners"])
+        if language is not None:
+            from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+            cleaners = (LANGUAGE_CLEANERS[language].__name__,)
+        for t in texts:
+            ids, cl = textlib.text_to_sequence(t, cleaners)
+            seqs.append(intersperse(ids, 0))
+            cleaned.append(cl)
         n = len(seqs)
         batch = self._pick(n, self.meta["batches"], "batch")
         t_bucket = self._pick(max(len(s) for s in seqs), self.meta["text_buckets"], "text length")
@@ -381,17 +409,32 @@ class LoadedBundle:
             rng = host_prng_key(seed)
         out, mel_lengths = prog.call(x, xl, spk_arr, np.float32(length_scale),
                                      np.float32(temperature), rng)
+        return {"out": out, "mel_lengths": mel_lengths, "n": n, "batch": batch,
+                "t_bucket": t_bucket, "m_bucket": m_bucket, "t0": t0,
+                "cleaned": cleaned,
+                # escalation replay args (a pinned bucket may saturate)
+                "args": dict(texts=texts, spks=spks, length_scale=length_scale,
+                             temperature=temperature, seed=seed, language=language),
+                "pinned": mel_bucket is not None}
+
+    def fetch(self, p: dict):
+        """Block on a dispatched batch's device→host transfer and build the
+        trimmed results.  Counterpart of :meth:`dispatch`."""
+        import datetime as _dt
+
+        # ONE device_get for the pair: separate np.asarray fetches would pay
+        # a transfer round trip each (measured ~28 ms apiece on the tunnel)
+        out, mel_lengths = jax.device_get((p["out"], p["mel_lengths"]))
         out = np.asarray(out)
         mel_lengths = np.asarray(mel_lengths).astype(int)
-        if (mel_bucket is not None and mel_lengths.max() >= m_bucket
+        n, m_bucket = p["n"], p["m_bucket"]
+        if (p["pinned"] and mel_lengths.max() >= m_bucket
                 and m_bucket < max(self.meta["mel_buckets"])):
             # the pinned bucket saturated (in-graph durations clamp at the
             # bucket, so audio would be silently truncated) and the bundle
             # has headroom: redo via the duration program's accurate pick
-            return self.synthesise(texts, spks=spks, length_scale=length_scale,
-                                   temperature=temperature, seed=seed,
-                                   language=language)
-        wall = (_dt.datetime.now() - t0).total_seconds()
+            return self.fetch(self.dispatch(**p["args"]))
+        wall = (_dt.datetime.now() - p["t0"]).total_seconds()
 
         results = []
         ups = self.meta["upsample"] or self.meta["hop_length"]
@@ -400,13 +443,121 @@ class LoadedBundle:
             if self.meta["with_vocoder"]:
                 # pcm16 bundles return int16 samples (device-quantized);
                 # f32 bundles return float samples — dtype says which
-                results.append({"wav": out[i, : ml * ups], "mel_length": ml})
+                results.append({"wav": out[i, : ml * ups], "mel_length": ml,
+                                "cleaned_text": p["cleaned"][i]})
             else:
-                results.append({"mel": out[i, :ml], "mel_length": ml})
+                results.append({"mel": out[i, :ml], "mel_length": ml,
+                                "cleaned_text": p["cleaned"][i]})
         audio_s = float(mel_lengths[:n].sum()) * self.meta["hop_length"] / self.meta["sample_rate"]
         timings = {"wall_s": wall, "rtf": wall / audio_s if audio_s else float("inf"),
-                   "batch": batch, "text_bucket": t_bucket, "mel_bucket": m_bucket}
+                   "batch": p["batch"], "text_bucket": p["t_bucket"], "mel_bucket": m_bucket}
         return results, timings
+
+
+class BundleSynthesisPipeline:
+    """The serving engine's pipeline surface over an exported bundle.
+
+    Production deployments can point ``BatchingEngine`` (and the web app) at
+    a versioned AOT artifact instead of live model code: no checkpoint
+    loading, no tracing, no Python model graph — just the manifest of
+    StableHLO programs.  Implements the subset of ``SynthesisPipeline`` the
+    engine and webapp use: ``synthesise_async``/``finalize`` (depth-1
+    pipelining), blocking ``synthesise``, and ``warmup``.  Per-request seeds
+    work exactly as on the live path (per-row keys in the exported programs).
+
+    Baked at export and therefore FIXED per bundle: ODE step count and
+    denoiser strength (requests asking for other values are rejected —
+    export a bundle per operating point), pcm16 wire format (requests'
+    ``pcm16`` flag is advisory; results always expose float32 wav), and
+    mel output (vocoder bundles carry none: ``keep_mel`` requests get an
+    empty mel, which the webapp renders as audio-only).
+    """
+
+    def __init__(self, bundle):
+        self.bundle = bundle if isinstance(bundle, LoadedBundle) else LoadedBundle(bundle)
+        meta = self.bundle.meta
+        if not meta.get("rng_per_row"):
+            raise ValueError("serving needs per-request seeds: re-export this "
+                             "bundle (programs take per-row RNG keys now)")
+        self.batch_buckets = tuple(meta["batches"])
+        self.n_timesteps = int(meta["n_timesteps"])
+        self.denoiser_strength = float(meta["denoiser_strength"])
+
+    def _check(self, n_timesteps: int, denoiser_strength: float) -> None:
+        if int(n_timesteps) != self.n_timesteps:
+            raise ValueError(f"bundle is exported at n_timesteps={self.n_timesteps}, "
+                             f"got {n_timesteps} (export a bundle per operating point)")
+        if abs(float(denoiser_strength) - self.denoiser_strength) > 1e-9:
+            raise ValueError(f"bundle is exported at denoiser_strength="
+                             f"{self.denoiser_strength}, got {denoiser_strength}")
+
+    def synthesise_async(self, texts, spks=None, n_timesteps: int = 10,
+                         temperature: float = 0.667, length_scale: float = 1.0,
+                         denoiser_strength=None, language=None,
+                         seed=None, keep_mel: bool = True, vocode: bool = True,
+                         pcm16: bool = False):
+        self._check(n_timesteps, self.denoiser_strength
+                    if denoiser_strength is None else denoiser_strength)
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31))
+        return self.bundle.dispatch(texts, spks=spks, length_scale=length_scale,
+                                    temperature=temperature, seed=seed,
+                                    language=language)
+
+    def finalize(self, pending) -> list:
+        from emojivoice_tpu.inference.pipeline import (HOP_LENGTH, SAMPLE_RATE,
+                                                       SynthesisResult)
+
+        results, timings = self.bundle.fetch(pending)
+        b = max(timings["batch"], 1)
+        out = []
+        for r in results:
+            wav = r.get("wav")
+            if wav is None:
+                wav = np.zeros(0, np.float32)
+            elif wav.dtype == np.int16:
+                wav = wav.astype(np.float32) / 32767.0
+            else:
+                wav = np.asarray(wav, np.float32)
+            ml = r["mel_length"]
+            # reference RTF formulas (cli.py:301-302), amortized per row like
+            # the live finalize; under engine pipelining the wall window
+            # overlaps neighbor batches — throughput is the engine's utt/s
+            rtf = timings["wall_s"] * SAMPLE_RATE / (max(ml, 1) * HOP_LENGTH) / b
+            rtf_w = (timings["wall_s"] * SAMPLE_RATE / max(len(wav), 1) / b
+                     if len(wav) else float("nan"))
+            mel = r.get("mel")
+            out.append(SynthesisResult(
+                wav=wav,
+                mel=np.asarray(mel, np.float32) if mel is not None else np.zeros((0, 0), np.float32),
+                mel_length=ml, rtf=rtf, rtf_w=rtf_w,
+                cleaned_text=r.get("cleaned_text", ""),
+            ))
+        return out
+
+    def synthesise(self, texts, **kw) -> list:
+        return self.finalize(self.synthesise_async(texts, **kw))
+
+    def warmup(self, n_timesteps: int = 10, batch: int = 1, **_ignored) -> None:
+        """Load + run every program at this batch bucket once (deserialize
+        and XLA-compile off the request path)."""
+        self._check(n_timesteps, self.denoiser_strength)
+        meta = self.bundle.meta
+        if batch not in meta["batches"]:
+            raise ValueError(f"batch {batch} not in exported grid {meta['batches']}")
+        for t in meta["text_buckets"]:
+            x = np.zeros((batch, t), np.int32)
+            x[:, 0] = 50
+            xl = np.ones((batch,), np.int32)
+            spk = np.zeros((batch,), np.int32)
+            rng = np.stack([host_prng_key(i) for i in range(batch)])
+            if len(meta["mel_buckets"]) > 1:
+                np.asarray(self.bundle._load(f"dur_b{batch}_t{t}").call(
+                    x, xl, spk, np.float32(1.0)))
+            for m in meta["mel_buckets"]:
+                prog = self.bundle._load(f"synth_b{batch}_t{t}_m{m}")
+                jax.device_get(prog.call(x, xl, spk, np.float32(1.0),
+                                         np.float32(0.667), rng))
 
 
 # ---------------------------------------------------------------------------

@@ -194,6 +194,102 @@ def test_bundle_skips_duration_program_when_bucket_known(pipe, tmp_path):
         bundle2.synthesise(["hello"], spks=[1], mel_bucket=999)
 
 
+@pytest.fixture(scope="module")
+def served_bundle(pipe, tmp_path_factory):
+    from emojivoice_tpu.inference.export import export_bundle
+
+    d = tmp_path_factory.mktemp("served") / "bundle"
+    export_bundle(pipe, str(d), text_buckets=[64], mel_buckets=[128],
+                  batches=(1, 2), n_timesteps=2, pcm16=True)
+    return str(d)
+
+
+def test_bundle_backed_serving_engine(served_bundle):
+    """BatchingEngine runs on an exported bundle (BundleSynthesisPipeline):
+    concurrent requests coalesce into one padded-batch program dispatch, and
+    a request inside a merged batch reproduces the direct bundle call with
+    the same seed — versioned AOT serving without live model code."""
+    import pytest
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from emojivoice_tpu.inference.export import BundleSynthesisPipeline
+    from emojivoice_tpu.inference.serving import BatchingEngine
+
+    bp = BundleSynthesisPipeline(served_bundle)
+    assert bp.batch_buckets == (1, 2) and bp.n_timesteps == 2
+
+    with BatchingEngine(bp, max_batch=2, max_wait_ms=2000,
+                        batch_buckets=bp.batch_buckets) as eng:
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(lambda s: eng.submit(
+                        f"request {s}", spk=s, n_timesteps=2, seed=100 + s).result(), i)
+                    for i in range(2)]
+            merged = [f.result(timeout=600) for f in futs]
+        s = eng.stats()
+        assert s["requests"] == 2 and s["batches"] <= 2
+        for r in merged:
+            assert r.wav.dtype == np.float32 and len(r.wav) > 0
+            assert r.cleaned_text  # threaded through from the text frontend
+
+        # per-request seed: the merged row == a direct call with that seed.
+        # pcm16 bundles quantize on device, so XLA's per-shape reassociation
+        # (~1e-6) can cross an int16 rounding boundary: tolerance = 1 LSB.
+        direct = bp.synthesise(["request 1"], spks=[1], n_timesteps=2, seed=[101])[0]
+        np.testing.assert_allclose(merged[1].wav, direct.wav, atol=1.01 / 32767.0)
+
+        # the bundle's operating point is fixed: other step counts reject
+        with pytest.raises(ValueError, match="n_timesteps"):
+            eng.submit("x", n_timesteps=7).result(timeout=600)
+
+    # warmup compiles every program of a batch bucket off the request path
+    bp.warmup(n_timesteps=2, batch=1)
+    with pytest.raises(ValueError, match="not in exported grid"):
+        bp.warmup(n_timesteps=2, batch=64)
+
+
+def test_webapp_serves_exported_bundle(served_bundle):
+    """The web app serves an AOT bundle end to end (--bundle flag): HTML
+    form path (no mel in vocoder bundles → audio-only page) and JSON API,
+    with batching on the exported batch grid."""
+    import json
+    import threading
+    import urllib.request
+
+    from emojivoice_tpu.apps.webapp import serve
+    from emojivoice_tpu.inference.export import BundleSynthesisPipeline
+
+    bp = BundleSynthesisPipeline(served_bundle)
+    server = serve(bp, port=0, batching=True, max_batch=8, max_wait_ms=5)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # engine honors the exported batch grid, not the requested max
+        assert server.engine.batch_buckets == (1, 2)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/synthesise",
+            data=json.dumps({"text": "bundle serving", "steps": 2, "spk": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.loads(r.read())
+        assert out["num_samples"] > 0 and out["cleaned_text"]
+
+        # HTML form path: steps default comes from the bundle (2, not 10)
+        form = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesise",
+            data=b"text=hello+bundle&steps=2&temperature=0.667&length_scale=1.0&spk=1",
+        )
+        with urllib.request.urlopen(form, timeout=600) as r:
+            page = r.read().decode()
+        assert "audio controls" in page and "<img" not in page  # no mel image
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=60) as r:
+            assert 'name="steps" type="number" value="2"' in r.read().decode()
+    finally:
+        server.shutdown()
+        server.engine.close()
+
+
 def test_export_without_vocoder_emits_mel_programs(tmp_path):
     """A pipeline with no vocoder must export mel programs (and an honest
     manifest) rather than crash on vocoder_cfg=None — review regression."""
