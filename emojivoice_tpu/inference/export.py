@@ -450,7 +450,8 @@ class LoadedBundle:
                                 "cleaned_text": p["cleaned"][i]})
         audio_s = float(mel_lengths[:n].sum()) * self.meta["hop_length"] / self.meta["sample_rate"]
         timings = {"wall_s": wall, "rtf": wall / audio_s if audio_s else float("inf"),
-                   "batch": p["batch"], "text_bucket": p["t_bucket"], "mel_bucket": m_bucket}
+                   "batch": p["batch"], "n": n,
+                   "text_bucket": p["t_bucket"], "mel_bucket": m_bucket}
         return results, timings
 
 
@@ -509,7 +510,9 @@ class BundleSynthesisPipeline:
                                                        SynthesisResult)
 
         results, timings = self.bundle.fetch(pending)
-        b = max(timings["batch"], 1)
+        # amortize over REAL rows like the live finalize (pad rows are free
+        # riders of the same dispatch, not separate work)
+        b = max(timings.get("n", timings["batch"]), 1)
         out = []
         for r in results:
             wav = r.get("wav")

@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--clients", type=int, default=4)
     ap.add_argument("--requests", type=int, default=32,
                     help="total requests per measured round")
+    ap.add_argument("--bundle", action="store_true",
+                    help="serve an exported AOT bundle (BundleSynthesisPipeline) "
+                         "instead of the live pipeline")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +52,20 @@ def main() -> int:
 
     n_clients, B = args.clients, args.max_batch
     n_requests = max(args.requests, n_clients)
-    with BatchingEngine(pipe, max_batch=B, max_wait_ms=15,
+    backend = pipe
+    if args.bundle:
+        from emojivoice_tpu.inference.export import BundleSynthesisPipeline, export_bundle
+
+        bdir = f"/tmp/serving_bundle_b{B}"
+        t0 = dt.datetime.now()
+        # single mel bucket → the runner's duration-skip fast path; pcm16 on
+        # the wire like the live engine default
+        export_bundle(pipe, bdir, text_buckets=[128], mel_buckets=[512],
+                      batches=(1, B), n_timesteps=10, pcm16=True)
+        print(f"[serving] bundle export {(dt.datetime.now()-t0).total_seconds():.1f}s",
+              file=sys.stderr)
+        backend = BundleSynthesisPipeline(bdir)
+    with BatchingEngine(backend, max_batch=B, max_wait_ms=15,
                         batch_buckets=(1, B)) as eng:
         # warm/compile the batch-B programs once
         t0 = dt.datetime.now()
@@ -84,6 +100,7 @@ def main() -> int:
     audio_s = float(sum(len(r.wav) / r.sample_rate for r in all_out))
     print(json.dumps({
         "metric": "serving_throughput",
+        "mode": "bundle" if args.bundle else "live",
         "max_batch": B,
         "clients": n_clients,
         "utterances_per_s": round(len(all_out) / wall, 2),
