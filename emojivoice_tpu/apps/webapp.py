@@ -134,13 +134,23 @@ def make_handler(pipeline, defaults, engine=None):
             # it; the JSON API keeps the lean audio-only payload (pcm16 on
             # the wire, mel skipped) on BOTH the engine and direct paths.
             want_mel = self.path == "/synthesise"
-            if engine is not None:
-                # dynamic batching: concurrent HTTP threads coalesce into one
-                # padded-batch TPU dispatch (inference/serving.py)
-                res = engine.synthesise(text, spk=spk, keep_mel=want_mel, **params)
-            else:
-                res = pipeline.synthesise([text], spks=[spk], keep_mel=want_mel,
-                                          pcm16=True, **params)[0]
+            try:
+                if engine is not None:
+                    # dynamic batching: concurrent HTTP threads coalesce into
+                    # one padded-batch TPU dispatch (inference/serving.py)
+                    res = engine.synthesise(text, spk=spk, keep_mel=want_mel, **params)
+                else:
+                    res = pipeline.synthesise([text], spks=[spk], keep_mel=want_mel,
+                                              pcm16=True, **params)[0]
+            except (ValueError, KeyError) as e:
+                # operating-point mismatch (bundle step count), unknown
+                # language, bucket overflow: the request's fault → 400
+                self._send(f"bad request: {e}", 400)
+                return
+            except Exception as e:  # noqa: BLE001 — backend fault → 500, not
+                # a connection reset from a dead handler thread
+                self._send(f"synthesis failed: {type(e).__name__}: {e}", 500)
+                return
             if self.path == "/api/synthesise":
                 self._send(json.dumps({
                     "cleaned_text": res.cleaned_text,
@@ -191,7 +201,9 @@ def main(argv=None) -> int:
                         "fixed to the bundle's exported operating point")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
-    p.add_argument("--language", default="en")
+    p.add_argument("--language", default=None,
+                   help="cleaning language (default: en for live pipelines, "
+                        "the exported cleaners for --bundle)")
     p.add_argument("--batching", action="store_true",
                    help="coalesce concurrent requests into padded-batch TPU dispatches")
     p.add_argument("--max_batch", type=int, default=8)
@@ -202,16 +214,21 @@ def main(argv=None) -> int:
     from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
 
     if args.bundle:
+        if args.checkpoint_path or args.vocoder or args.random_init:
+            p.error("--bundle serves the exported artifact; it cannot be "
+                    "combined with --checkpoint_path/--vocoder/--random_init")
         from emojivoice_tpu.inference.export import BundleSynthesisPipeline
 
-        pipe = BundleSynthesisPipeline(args.bundle)
-    elif args.random_init or not args.checkpoint_path:
-        cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
-        pipe = SynthesisPipeline.from_random(cleaners=cleaners)
+        # --language overrides the bundle's exported cleaners per request;
+        # unset means "whatever the bundle was exported with"
+        pipe = BundleSynthesisPipeline(args.bundle, language=args.language)
     else:
-        cleaners = (LANGUAGE_CLEANERS[args.language].__name__,)
-        pipe = SynthesisPipeline.from_torch_checkpoints(args.checkpoint_path, args.vocoder,
-                                                        cleaners=cleaners)
+        cleaners = (LANGUAGE_CLEANERS[args.language or "en"].__name__,)
+        if args.random_init or not args.checkpoint_path:
+            pipe = SynthesisPipeline.from_random(cleaners=cleaners)
+        else:
+            pipe = SynthesisPipeline.from_torch_checkpoints(
+                args.checkpoint_path, args.vocoder, cleaners=cleaners)
     server = serve(pipe, args.host, args.port, batching=args.batching,
                    max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
     try:

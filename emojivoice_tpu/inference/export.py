@@ -282,6 +282,10 @@ class LoadedBundle:
         raise ValueError(f"{what} {value} exceeds largest exported bucket {max(buckets)}")
 
     def encode_texts(self, texts, language=None):
+        """Clean + encode through the bundle's exported cleaners (or a
+        per-call ``language`` override).  Returns (interspersed id lists,
+        cleaned texts) — the single copy of the bundle text frontend that
+        :meth:`dispatch` rides."""
         from emojivoice_tpu import text as textlib
         from emojivoice_tpu.utils import intersperse
 
@@ -290,11 +294,12 @@ class LoadedBundle:
             from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
 
             cleaners = (LANGUAGE_CLEANERS[language].__name__,)
-        seqs = []
+        seqs, cleaned = [], []
         for t in texts:
-            ids, _ = textlib.text_to_sequence(t, cleaners)
+            ids, cl = textlib.text_to_sequence(t, cleaners)
             seqs.append(intersperse(ids, 0))
-        return seqs
+            cleaned.append(cl)
+        return seqs, cleaned
 
     def synthesise(self, texts, spks=None, length_scale: float = 1.0,
                    temperature: float = 0.667, seed=0, language=None,
@@ -351,19 +356,7 @@ class LoadedBundle:
         import datetime as _dt
 
         t0 = _dt.datetime.now()
-        seqs, cleaned = [], []
-        from emojivoice_tpu import text as textlib
-        from emojivoice_tpu.utils import intersperse
-
-        cleaners = tuple(self.meta["cleaners"])
-        if language is not None:
-            from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
-
-            cleaners = (LANGUAGE_CLEANERS[language].__name__,)
-        for t in texts:
-            ids, cl = textlib.text_to_sequence(t, cleaners)
-            seqs.append(intersperse(ids, 0))
-            cleaned.append(cl)
+        seqs, cleaned = self.encode_texts(texts, language=language)
         n = len(seqs)
         batch = self._pick(n, self.meta["batches"], "batch")
         t_bucket = self._pick(max(len(s) for s in seqs), self.meta["text_buckets"], "text length")
@@ -432,8 +425,12 @@ class LoadedBundle:
                 and m_bucket < max(self.meta["mel_buckets"])):
             # the pinned bucket saturated (in-graph durations clamp at the
             # bucket, so audio would be silently truncated) and the bundle
-            # has headroom: redo via the duration program's accurate pick
-            return self.fetch(self.dispatch(**p["args"]))
+            # has headroom: redo via the duration program's accurate pick.
+            # The replay keeps the ORIGINAL t0 so wall_s/rtf include the
+            # wasted pinned attempt instead of under-reporting by ~2x.
+            replay = self.dispatch(**p["args"])
+            replay["t0"] = p["t0"]
+            return self.fetch(replay)
         wall = (_dt.datetime.now() - p["t0"]).total_seconds()
 
         results = []
@@ -474,12 +471,27 @@ class BundleSynthesisPipeline:
     empty mel, which the webapp renders as audio-only).
     """
 
-    def __init__(self, bundle):
+    def __init__(self, bundle, language: Optional[str] = None):
         self.bundle = bundle if isinstance(bundle, LoadedBundle) else LoadedBundle(bundle)
         meta = self.bundle.meta
         if not meta.get("rng_per_row"):
             raise ValueError("serving needs per-request seeds: re-export this "
                              "bundle (programs take per-row RNG keys now)")
+        if not meta.get("with_vocoder"):
+            # a --no_vocoder bundle carries mels only; serving it would hand
+            # every client zero-length audio with no error
+            raise ValueError("bundle was exported with --no_vocoder (mel-only); "
+                             "serving needs waveform programs — re-export "
+                             "without --no_vocoder")
+        if language is not None:
+            from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
+
+            if language not in LANGUAGE_CLEANERS:
+                raise KeyError(f"Unknown language {language!r}; available: "
+                               f"{sorted(LANGUAGE_CLEANERS)}")
+        # default cleaning language for requests that don't name one; None
+        # falls back to the bundle's exported cleaners
+        self.language = language
         self.batch_buckets = tuple(meta["batches"])
         self.n_timesteps = int(meta["n_timesteps"])
         self.denoiser_strength = float(meta["denoiser_strength"])
@@ -492,18 +504,20 @@ class BundleSynthesisPipeline:
             raise ValueError(f"bundle is exported at denoiser_strength="
                              f"{self.denoiser_strength}, got {denoiser_strength}")
 
-    def synthesise_async(self, texts, spks=None, n_timesteps: int = 10,
+    def synthesise_async(self, texts, spks=None, n_timesteps: Optional[int] = None,
                          temperature: float = 0.667, length_scale: float = 1.0,
                          denoiser_strength=None, language=None,
                          seed=None, keep_mel: bool = True, vocode: bool = True,
                          pcm16: bool = False):
-        self._check(n_timesteps, self.denoiser_strength
+        self._check(self.n_timesteps if n_timesteps is None else n_timesteps,
+                    self.denoiser_strength
                     if denoiser_strength is None else denoiser_strength)
         if seed is None:
             seed = int(np.random.randint(0, 2**31))
         return self.bundle.dispatch(texts, spks=spks, length_scale=length_scale,
                                     temperature=temperature, seed=seed,
-                                    language=language)
+                                    language=language if language is not None
+                                    else self.language)
 
     def finalize(self, pending) -> list:
         from emojivoice_tpu.inference.pipeline import (HOP_LENGTH, SAMPLE_RATE,
@@ -541,10 +555,13 @@ class BundleSynthesisPipeline:
     def synthesise(self, texts, **kw) -> list:
         return self.finalize(self.synthesise_async(texts, **kw))
 
-    def warmup(self, n_timesteps: int = 10, batch: int = 1, **_ignored) -> None:
+    def warmup(self, n_timesteps: Optional[int] = None, batch: int = 1,
+               **_ignored) -> None:
         """Load + run every program at this batch bucket once (deserialize
-        and XLA-compile off the request path)."""
-        self._check(n_timesteps, self.denoiser_strength)
+        and XLA-compile off the request path).  ``n_timesteps=None`` means
+        the bundle's exported step count."""
+        self._check(self.n_timesteps if n_timesteps is None else n_timesteps,
+                    self.denoiser_strength)
         meta = self.bundle.meta
         if batch not in meta["batches"]:
             raise ValueError(f"batch {batch} not in exported grid {meta['batches']}")

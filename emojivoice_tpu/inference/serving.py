@@ -123,10 +123,10 @@ class BatchingEngine:
         self,
         text: str,
         spk: int = 0,
-        n_timesteps: int = 10,
+        n_timesteps: Optional[int] = None,
         temperature: float = 0.667,
         length_scale: float = 1.0,
-        denoiser_strength: float = 0.00025,
+        denoiser_strength: Optional[float] = None,
         language: Optional[str] = None,
         keep_mel: bool = False,
         seed: Optional[int] = None,
@@ -135,7 +135,16 @@ class BatchingEngine:
 
         ``seed`` pins this request's noise stream: the same seed always draws
         the same noise regardless of co-batched requests, and replays through
-        the same batch shape are bit-identical.  None draws a fresh one."""
+        the same batch shape are bit-identical.  None draws a fresh one.
+
+        ``denoiser_strength=None`` takes the backend's own operating point —
+        the reference default 0.00025 on a live pipeline, the exported value
+        on a bundle (a bundle exported at any other strength would otherwise
+        reject every batched request)."""
+        if n_timesteps is None:
+            n_timesteps = int(getattr(self.pipe, "n_timesteps", 10))
+        if denoiser_strength is None:
+            denoiser_strength = float(getattr(self.pipe, "denoiser_strength", 0.00025))
         if self._closed:
             raise RuntimeError("engine is closed")
         if language is not None:
@@ -164,10 +173,14 @@ class BatchingEngine:
         """Blocking convenience wrapper around submit()."""
         return self.submit(text, **kw).result()
 
-    def warmup(self, n_timesteps: int = 10, batches: Optional[Sequence[int]] = None):
+    def warmup(self, n_timesteps: Optional[int] = None,
+               batches: Optional[Sequence[int]] = None):
         """Compile the programs this engine will actually dispatch (the
         program key includes keep_mel/pcm16, so pipe.warmup() with its
-        defaults would NOT warm the serving path)."""
+        defaults would NOT warm the serving path).  ``n_timesteps=None``
+        warms the backend's own operating point, like submit()."""
+        if n_timesteps is None:
+            n_timesteps = int(getattr(self.pipe, "n_timesteps", 10))
         for b in batches if batches is not None else self.batch_buckets:
             self.pipe.warmup(n_timesteps=n_timesteps, batch=b,
                              keep_mel=False, vocode=True, pcm16=self.pcm16)

@@ -290,6 +290,71 @@ def test_webapp_serves_exported_bundle(served_bundle):
         server.engine.close()
 
 
+def test_bundle_serving_defaults_and_rejections(pipe, tmp_path):
+    """Review regressions: (a) engine.submit with NO explicit operating
+    point adopts the bundle's exported steps/denoiser (a bundle exported at
+    a non-default denoiser_strength used to fail 100% of batched requests);
+    (b) a mel-only (--no_vocoder) bundle is rejected at construction rather
+    than silently serving zero-length audio; (c) an unknown --language is
+    rejected at construction."""
+    import pytest
+
+    from emojivoice_tpu.inference.export import BundleSynthesisPipeline, export_bundle
+    from emojivoice_tpu.inference.serving import BatchingEngine
+
+    export_bundle(pipe, str(tmp_path / "od"), text_buckets=[64], mel_buckets=[128],
+                  batches=(1,), n_timesteps=2, denoiser_strength=0.001, pcm16=True)
+    bp = BundleSynthesisPipeline(str(tmp_path / "od"))
+    assert bp.denoiser_strength == 0.001
+    with BatchingEngine(bp, max_batch=1, max_wait_ms=1,
+                        batch_buckets=bp.batch_buckets) as eng:
+        res = eng.submit("operating point", spk=1).result(timeout=600)
+        assert len(res.wav) > 0
+        # explicit mismatches still reject
+        with pytest.raises(ValueError, match="denoiser_strength"):
+            eng.submit("x", denoiser_strength=0.5).result(timeout=600)
+
+    mel_pipe = SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",), mel_buckets=(64,),
+        text_buckets=(64,), with_vocoder=False)
+    export_bundle(mel_pipe, str(tmp_path / "melonly"), text_buckets=[64],
+                  mel_buckets=[64], batches=(1,), n_timesteps=2)
+    with pytest.raises(ValueError, match="no_vocoder"):
+        BundleSynthesisPipeline(str(tmp_path / "melonly"))
+
+    with pytest.raises(KeyError, match="Unknown language"):
+        BundleSynthesisPipeline(str(tmp_path / "od"), language="xx")
+
+
+def test_webapp_errors_are_http_statuses(served_bundle):
+    """A request asking a bundle-backed webapp for an unsupported step count
+    gets an HTTP 400, not a connection reset from a dead handler thread."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from emojivoice_tpu.apps.webapp import serve
+    from emojivoice_tpu.inference.export import BundleSynthesisPipeline
+
+    bp = BundleSynthesisPipeline(served_bundle)
+    server = serve(bp, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/synthesise",
+            data=json.dumps({"text": "wrong steps", "steps": 7, "spk": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=600)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "n_timesteps" in e.read().decode()
+    finally:
+        server.shutdown()
+
+
 def test_multi_platform_bundle_runs_on_cpu(pipe, tmp_path):
     """A bundle exported with platforms=["cpu", "tpu"] embeds lowerings for
     both targets (jax.export multi-platform): export once on any host, serve
