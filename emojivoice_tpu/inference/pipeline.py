@@ -83,6 +83,7 @@ class SynthesisPipeline:
         compute_dtype=jnp.float32,
         mesh=None,
         vocoder_backend: str = "auto",
+        vocoder_dtype=jnp.float32,
     ):
         """``mesh`` scales inference over devices: params are placed by the
         tensor-parallel rules (replicated when the mesh has no/size-1 model
@@ -97,7 +98,16 @@ class SynthesisPipeline:
         (default) fuses the Pallas MRF stages on real TPUs when params are
         replicated f32, else XLA; ``"xla"`` forces XLA conv fusion;
         ``"pallas"`` forces the fused kernel (raises unless f32/unsharded).
-        Unknown values raise."""
+        Unknown values raise.
+
+        ``vocoder_dtype=bfloat16`` runs ONLY the HiFi-GAN convs in bf16
+        (acoustic model, noise, denoiser, and params at rest stay f32) —
+        the serving-throughput knob: at batch the vocoder is MXU-bound, and
+        bf16 convs measured 37.4 vs 51.0 ms (XLA f32) / 43.3 ms (Pallas
+        f32) at B=8×512 frames, 141 vs 204 ms at B=32 on v5e, with max
+        waveform deviation ~1e-3 (-59 dB).  At batch 1 the vocoder is
+        overhead-bound and Pallas f32 stays ahead — keep the default for
+        single-stream latency."""
         self.model_cfg = model_cfg
         self.model = MatchaTTS(cfg=model_cfg)
         self.mesh = mesh
@@ -131,14 +141,16 @@ class SynthesisPipeline:
             raise ValueError(
                 f"vocoder_backend={vocoder_backend!r}: expected 'auto', 'xla', or 'pallas'"
             )
+        self.vocoder_dtype = vocoder_dtype
         if vocoder_backend == "pallas":
             # the kernel's VMEM scratch is f32 and expects replicated params —
             # the same conditions "auto" checks, but an explicit ask must fail
             # loudly instead of crashing at compile time deep in pallas_call
-            if compute_dtype != jnp.float32:
+            if compute_dtype != jnp.float32 or vocoder_dtype != jnp.float32:
                 raise ValueError(
                     "vocoder_backend='pallas' requires compute_dtype=float32 "
-                    "(the fused MRF kernel stages f32 VMEM scratch)"
+                    "and vocoder_dtype=float32 (the fused MRF kernel stages "
+                    "f32 VMEM scratch; bf16 vocoding goes through XLA)"
                 )
             if mesh is not None:
                 raise ValueError(
@@ -149,6 +161,7 @@ class SynthesisPipeline:
             vocoder_backend == "auto"
             and mesh is None
             and compute_dtype == jnp.float32
+            and vocoder_dtype == jnp.float32
             and jax.default_backend() == "tpu"
         )
         self._stage_a = {}
@@ -156,6 +169,15 @@ class SynthesisPipeline:
         self._fused = {}
 
     def _vocode(self, voc_params, mel):
+        if self.vocoder_dtype != jnp.float32:
+            # vocoder-only mixed precision: the weight cast happens in-graph
+            # (XLA fuses the converts; ~55 MB of weights read once per call),
+            # the waveform comes back f32 for the denoiser's phase math
+            from emojivoice_tpu.utils.trees import cast_floats
+
+            wav = self.vocoder.apply(cast_floats(voc_params, self.vocoder_dtype),
+                                     mel.astype(self.vocoder_dtype))
+            return wav.astype(jnp.float32)
         if self._pallas_voc:
             from emojivoice_tpu.ops.pallas_mrf import hifigan_apply_pallas
 

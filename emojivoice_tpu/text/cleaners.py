@@ -82,7 +82,7 @@ _replacements_fr = [
     (re.compile(r"(\d+)\.(\d+)€"), r"\1 euros et \2 centimes"),
     (re.compile(r"(\d+)\.(\d+)¥"), r"\1 yen et \2 centimes"),
     (re.compile(r"(?<=\D)\.(?=\D)(?!\s)", re.IGNORECASE), " point "),
-    (re.compile(r"(?<=\d)\,(?=\d)(?!\s)"), " vergule "),
+    (re.compile(r"(?<=\d)\,(?=\d)(?!\s)"), " virgule "),
     (re.compile(r"€"), " euros"),
     (re.compile(r"¥"), " yen"),
     (re.compile(r"Mme"), "madame"),
@@ -114,7 +114,7 @@ _replacements_de = [
 
 _replacements_ja = [
     (re.compile(r"(?<!\s)\.(?!\s)"), " てん"),
-    (re.compile(r"-(?=\d)"), " えん"),
+    (re.compile(r"-(?=\d)"), " マイナス"),
     (re.compile(r"%"), " パーセント"),
     (re.compile(r"@"), " アットマーク"),
     (re.compile(r"\\\\"), " バックスラッシュ"),
@@ -221,13 +221,17 @@ def _strip_accents(text: str) -> str:
     return "".join(out)
 
 
-def _grapheme_fallback(text: str) -> str:
-    """Map text onto the symbol table without a phonemizer: kana
+def _grapheme_fallback(text: str, language: str = "en") -> str:
+    """Map text onto the symbol table without a phonemizer: digits
+    verbalize in-language (espeak does this itself on the phonemizer path;
+    without it the symbol filter would silently drop every number), kana
     transliterate to romaji, accented Latin letters to their base letters,
     anything still outside the table (e.g. kanji) is stripped."""
     from emojivoice_tpu.text.kana import kana_to_romaji
+    from emojivoice_tpu.text.numbers import verbalize_numbers
     from emojivoice_tpu.text.symbols import symbols
 
+    text = verbalize_numbers(text, language)
     text = _strip_accents(kana_to_romaji(text)).lower()
     # hyphen sits only in the untrained id range (symbols.py N_VOCAB note);
     # keep the word boundary it marks instead of letting the id filter
@@ -240,7 +244,7 @@ def _grapheme_fallback(text: str) -> str:
 def _phonemize(text: str, language: str) -> str:
     backend = _espeak_backend(_ESPEAK_LANGS.get(language, "en-us"))
     if backend is None:
-        return _grapheme_fallback(text)
+        return _grapheme_fallback(text, language)
     return backend.phonemize([text], strip=True, njobs=1)[0]
 
 
@@ -291,7 +295,7 @@ def japanese_cleaners(text: str) -> str:
     text = apply_replacements(text, "ja")
     g2p = _japanese_g2p()
     if g2p is None:
-        return collapse_whitespace(_grapheme_fallback(text))
+        return collapse_whitespace(_grapheme_fallback(text, "ja"))
     return collapse_whitespace(g2p(text)[0])
 
 

@@ -50,3 +50,73 @@ def test_cleaner_wiring():
 
     ids, cleaned = text_to_sequence("I have 12 hats.", ["expand_numbers_en", "basic_cleaners"])
     assert cleaned == "i have twelve hats."
+
+
+def test_multilingual_cardinals():
+    """In-language cardinal grammar: French vigesimals and et-un liaisons,
+    German unit-before-ten compounding with eins/ein apocope, Spanish
+    irregular hundreds and apocope before mil, Japanese myriad grouping with
+    rendaku consonant changes (sanbyaku/roppyaku/hassen)."""
+    from emojivoice_tpu.text.numbers import (number_to_words_de, number_to_words_es,
+                                             number_to_words_fr, number_to_words_ja)
+
+    assert number_to_words_fr(71) == "soixante et onze"
+    assert number_to_words_fr(80) == "quatre-vingts"
+    assert number_to_words_fr(81) == "quatre-vingt-un"
+    assert number_to_words_fr(200) == "deux cents"
+    assert number_to_words_fr(201) == "deux cent un"
+    assert number_to_words_fr(1985) == "mille neuf cent quatre-vingt-cinq"
+    assert number_to_words_fr(1000000) == "un million"
+
+    assert number_to_words_de(21) == "einundzwanzig"
+    assert number_to_words_de(101) == "einhunderteins"
+    assert number_to_words_de(1001) == "eintausendeins"
+    assert number_to_words_de(2024) == "zweitausendvierundzwanzig"
+    assert number_to_words_de(30) == "dreißig"
+
+    assert number_to_words_es(16) == "dieciséis"
+    assert number_to_words_es(21) == "veintiuno"
+    assert number_to_words_es(31) == "treinta y uno"
+    assert number_to_words_es(100) == "cien"
+    assert number_to_words_es(101) == "ciento uno"
+    assert number_to_words_es(500) == "quinientos"
+    assert number_to_words_es(21000) == "veintiún mil"
+    assert number_to_words_es(2000000) == "dos millones"
+
+    assert number_to_words_ja(11) == "juu ichi"
+    assert number_to_words_ja(300) == "sanbyaku"
+    assert number_to_words_ja(600) == "roppyaku"
+    assert number_to_words_ja(800) == "happyaku"
+    assert number_to_words_ja(3000) == "sanzen"
+    assert number_to_words_ja(8000) == "hassen"
+    assert number_to_words_ja(10000) == "ichi man"
+    assert number_to_words_ja(20500) == "ni man gohyaku"
+
+
+def test_verbalize_numbers_dispatch():
+    """Decimals read digit-by-digit after the locale separator word; both
+    '.' and ',' separate for non-English; unknown languages fall back to
+    the English expander."""
+    from emojivoice_tpu.text.numbers import verbalize_numbers
+
+    assert verbalize_numbers("il y a 123 choses", "fr") == "il y a cent vingt-trois choses"
+    assert verbalize_numbers("4,5 grammes", "fr") == "quatre virgule cinq grammes"
+    assert verbalize_numbers("21,50 Euro", "de") == "einundzwanzig Komma fünf null Euro"
+    assert verbalize_numbers("1.5 km", "es") == "uno coma cinco km"
+    assert verbalize_numbers("3.5 desu", "ja") == "san ten go desu"
+    assert verbalize_numbers("3 cats", "xx") == "three cats"
+
+
+def test_grapheme_fallback_speaks_digits_every_language():
+    """espeak is absent in this image, so the grapheme fallback is the live
+    path — digits must verbalize in-language instead of being silently
+    stripped by the symbol-table filter (they were, pre-round-3)."""
+    from emojivoice_tpu.text.cleaners import (english_cleaners2, french_cleaners,
+                                              german_cleaners, japanese_cleaners,
+                                              spanish_cleaners)
+
+    assert "one hundred twenty three" in english_cleaners2("I saw 123 birds")
+    assert "cent vingt trois" in french_cleaners("Bonjour 123")
+    assert "dreiundzwanzig" in german_cleaners("Es sind 23 Grad")
+    assert "veintitres" in spanish_cleaners("Hay 23 gatos")
+    assert "nijuu san" in japanese_cleaners("23です")

@@ -166,3 +166,29 @@ def test_vocoder_backend_validated():
         SynthesisPipeline.from_random(
             root, vocoder_backend="pallas", compute_dtype=jnp.bfloat16
         )
+    with pytest.raises(ValueError, match="vocoder_dtype"):
+        SynthesisPipeline.from_random(
+            root, vocoder_backend="pallas", vocoder_dtype=jnp.bfloat16
+        )
+
+
+def test_vocoder_bf16_close_to_f32(pipe):
+    """vocoder_dtype=bf16 (serving-throughput mode) keeps the waveform
+    within bf16 conv error of the f32 path: same noise stream (noise stays
+    f32), same mel, only the HiFi-GAN convs run reduced-precision.  The
+    Pallas auto policy must also stand down (the fused kernel stages f32
+    VMEM scratch)."""
+    import jax.numpy as jnp
+
+    bf = SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",), mel_buckets=(64, 128, 256),
+        text_buckets=(64, 128), vocoder_dtype=jnp.bfloat16)
+    assert not bf._pallas_voc
+    f32 = pipe.synthesise(["precision check"], spks=[1], n_timesteps=2, seed=3)[0]
+    b16 = bf.synthesise(["precision check"], spks=[1], n_timesteps=2, seed=3)[0]
+    assert b16.wav.dtype == np.float32
+    assert b16.mel_length == f32.mel_length  # acoustic path untouched
+    np.testing.assert_allclose(b16.mel, f32.mel, atol=1e-5)  # mel stays f32
+    n = min(len(f32.wav), len(b16.wav))
+    err = np.abs(f32.wav[:n] - b16.wav[:n]).max()
+    assert 0 < err < 2e-2  # bf16 convs differ, but stay at inaudible scale

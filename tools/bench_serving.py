@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--bundle", action="store_true",
                     help="serve an exported AOT bundle (BundleSynthesisPipeline) "
                          "instead of the live pipeline")
+    ap.add_argument("--vocoder_bf16", action="store_true",
+                    help="bf16 HiFi-GAN convs (throughput mode: MXU-bound at "
+                         "batch; acoustic model and noise stay f32)")
     args = ap.parse_args()
 
     import jax
@@ -47,8 +50,13 @@ def main() -> int:
         "A long time ago, in a kitchen far away, soup was made.",
         "Please remember to water the plants before you leave.",
     ]
-    pipe = SynthesisPipeline.from_random(cleaners=("basic_cleaners",))
-    print(f"[serving] backend={jax.default_backend()}", file=sys.stderr)
+    import jax.numpy as jnp
+
+    pipe = SynthesisPipeline.from_random(
+        cleaners=("basic_cleaners",),
+        vocoder_dtype=jnp.bfloat16 if args.vocoder_bf16 else jnp.float32)
+    print(f"[serving] backend={jax.default_backend()} "
+          f"vocoder_bf16={args.vocoder_bf16}", file=sys.stderr)
 
     n_clients, B = args.clients, args.max_batch
     n_requests = max(args.requests, n_clients)
