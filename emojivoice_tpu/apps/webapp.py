@@ -76,6 +76,19 @@ def _render_result(res) -> str:
 </div>"""
 
 
+def _wav_stream_header(sample_rate: int, channels: int = 1, bits: int = 16) -> bytes:
+    """RIFF/WAVE header for a stream of unknown length: the RIFF and data
+    sizes are 0xFFFFFFFF (the de-facto 'until EOF' convention — players and
+    browsers read progressively and stop at connection close)."""
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                    byte_rate, channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+
 def make_handler(pipeline, defaults, engine=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -101,6 +114,9 @@ def make_handler(pipeline, defaults, engine=None):
                 self._send("not found", 404)
 
         def do_POST(self):
+            if self.path == "/api/stream":
+                self._stream()
+                return
             if self.path not in ("/synthesise", "/api/synthesise"):
                 self._send("not found", 404)
                 return
@@ -164,6 +180,64 @@ def make_handler(pipeline, defaults, engine=None):
                                     **{**defaults, "text": html.escape(text), "spk": spk})
                 self._send(page)
 
+        def _stream(self):
+            """POST /api/stream — progressive WAV: audio bytes start flowing
+            after the first vocoder chunk instead of after the full
+            utterance (streaming TTFA is chunk-cost-bound, not
+            length-bound).  The body streams until EOF (no Content-Length);
+            browsers and curl play it progressively.  Long texts split into
+            segments (the long-form path), each segment chunk-vocoded.
+            Streaming rides the direct pipeline: it needs the mel-only
+            compiled stage, which exported bundles don't carry → 400."""
+            import numpy as np
+
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length).decode()
+            if self.headers.get("Content-Type", "").startswith("application/json"):
+                form = json.loads(raw)
+            else:
+                form = {k: v[0] for k, v in parse_qs(raw).items()}
+            text = str(form.get("text", "")).strip()
+            if not text:
+                self._send("text required", 400)
+                return
+            if not hasattr(pipeline, "_vocode"):
+                self._send("streaming needs a live pipeline (exported bundles "
+                           "carry no mel-only programs)", 400)
+                return
+            try:
+                kw = dict(
+                    n_timesteps=int(form.get("steps", defaults["steps"])),
+                    temperature=float(form.get("temperature", defaults["temperature"])),
+                    length_scale=float(form.get("length_scale", defaults["length_scale"])),
+                )
+                if form.get("seed") not in (None, ""):
+                    kw["seed"] = int(form["seed"])
+                if form.get("language"):
+                    kw["language"] = str(form["language"])
+                spk = int(form.get("spk", defaults["spk"]))
+            except (TypeError, ValueError) as e:
+                self._send(f"bad numeric field: {e}", 400)
+                return
+            from emojivoice_tpu.inference.longform import split_text
+            from emojivoice_tpu.inference.pipeline import SAMPLE_RATE
+            from emojivoice_tpu.inference.streaming import stream_synthesise
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                self.wfile.write(_wav_stream_header(SAMPLE_RATE))
+                for i, seg in enumerate(split_text(text)):
+                    if i:  # inter-segment gap like the long-form path
+                        self.wfile.write(b"\x00\x00" * int(0.15 * SAMPLE_RATE))
+                    for chunk in stream_synthesise(pipeline, seg, spk=spk, **kw):
+                        pcm = (np.clip(chunk, -1.0, 1.0) * 32767.0).astype("<i2")
+                        self.wfile.write(pcm.tobytes())
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up mid-stream — normal for streaming
+
     return Handler
 
 
@@ -208,7 +282,13 @@ def main(argv=None) -> int:
                    help="coalesce concurrent requests into padded-batch TPU dispatches")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=10.0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (same flag as emojivoice-tts)")
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
     from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS

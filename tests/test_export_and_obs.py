@@ -351,6 +351,17 @@ def test_webapp_errors_are_http_statuses(served_bundle):
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400 and "n_timesteps" in e.read().decode()
+        # streaming needs the live pipeline's mel-only stage: bundles → 400
+        sreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/stream",
+            data=json.dumps({"text": "no streaming from bundles"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(sreq, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "live pipeline" in e.read().decode()
     finally:
         server.shutdown()
 

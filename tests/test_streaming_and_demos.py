@@ -151,6 +151,52 @@ def test_webapp_http(pipe):
         server.shutdown()
 
 
+def test_webapp_stream_endpoint(pipe):
+    """POST /api/stream answers a progressive WAV whose pcm16 samples equal
+    the streaming-vocoder chunks for the same seed (the header is the
+    until-EOF convention: sizes 0xFFFFFFFF), and exported-bundle backends
+    reject it with a 400 instead of crashing."""
+    import struct
+    import urllib.error
+
+    from emojivoice_tpu.apps.webapp import serve
+    from emojivoice_tpu.inference.streaming import stream_synthesise
+
+    server = serve(pipe, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/stream",
+            data=json.dumps({"text": "stream me", "steps": 2, "spk": 1,
+                             "seed": 11}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        assert struct.unpack("<I", body[4:8])[0] == 0xFFFFFFFF
+        sr = struct.unpack("<I", body[24:28])[0]
+        assert sr == 22050
+        got = np.frombuffer(body[44:], dtype="<i2").astype(np.float32) / 32767.0
+
+        ref = np.concatenate(list(stream_synthesise(
+            pipe, "stream me", spk=1, n_timesteps=2, seed=11)))
+        ref = np.clip(ref, -1.0, 1.0)
+        assert len(got) == len(ref)
+        np.testing.assert_allclose(got, ref, atol=1.01 / 32767.0)
+
+        # empty text is a 400, not a dead handler
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/stream", data=b"text=",
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(bad, timeout=60)
+    finally:
+        server.shutdown()
+
+
 def test_record_audio_tools(tmp_path, rng):
     from scipy.io import wavfile
 
