@@ -113,25 +113,28 @@ def make_handler(pipeline, defaults, engine=None):
             else:
                 self._send("not found", 404)
 
-        def do_POST(self):
-            if self.path == "/api/stream":
-                self._stream()
-                return
-            if self.path not in ("/synthesise", "/api/synthesise"):
-                self._send("not found", 404)
-                return
+        def _read_form(self):
+            """Parse the POST body (JSON or urlencoded form) → dict, or None
+            after answering 400 — malformed JSON must not escape as a
+            traceback/connection-reset before any status is sent."""
             length = int(self.headers.get("Content-Length", 0))
             raw = self.rfile.read(length).decode()
             if self.headers.get("Content-Type", "").startswith("application/json"):
-                form = json.loads(raw)
-            else:
-                form = {k: v[0] for k, v in parse_qs(raw).items()}
-            text = form.get("text", "").strip()
-            if not text:
-                self._send("text required", 400)
-                return
-            # malformed numerics must answer 400, not kill the handler
-            # thread mid-response (connection reset with no status)
+                try:
+                    form = json.loads(raw)
+                except json.JSONDecodeError as e:
+                    self._send(f"bad json body: {e}", 400)
+                    return None
+                if not isinstance(form, dict):
+                    self._send("json body must be an object", 400)
+                    return None
+                return form
+            return {k: v[0] for k, v in parse_qs(raw).items()}
+
+        def _parse_params(self, form):
+            """Shared numeric/operating-point parsing → (params, spk), or
+            None after answering 400.  Malformed numerics must answer 400,
+            not kill the handler thread mid-response."""
             try:
                 params = dict(
                     n_timesteps=int(form.get("steps", defaults["steps"])),
@@ -142,10 +145,32 @@ def make_handler(pipeline, defaults, engine=None):
                 # noise stream on both the batching-engine and direct paths
                 if form.get("seed") not in (None, ""):
                     params["seed"] = int(form["seed"])
+                if form.get("language"):
+                    params["language"] = str(form["language"])
                 spk = int(form.get("spk", defaults["spk"]))
             except (TypeError, ValueError) as e:
                 self._send(f"bad numeric field: {e}", 400)
+                return None
+            return params, spk
+
+        def do_POST(self):
+            if self.path == "/api/stream":
+                self._stream()
                 return
+            if self.path not in ("/synthesise", "/api/synthesise"):
+                self._send("not found", 404)
+                return
+            form = self._read_form()
+            if form is None:
+                return
+            text = str(form.get("text", "")).strip()
+            if not text:
+                self._send("text required", 400)
+                return
+            parsed = self._parse_params(form)
+            if parsed is None:
+                return
+            params, spk = parsed
             # The HTML UI shows the mel image, so the form path opts into
             # it; the JSON API keeps the lean audio-only payload (pcm16 on
             # the wire, mel skipped) on BOTH the engine and direct paths.
@@ -191,12 +216,9 @@ def make_handler(pipeline, defaults, engine=None):
             compiled stage, which exported bundles don't carry → 400."""
             import numpy as np
 
-            length = int(self.headers.get("Content-Length", 0))
-            raw = self.rfile.read(length).decode()
-            if self.headers.get("Content-Type", "").startswith("application/json"):
-                form = json.loads(raw)
-            else:
-                form = {k: v[0] for k, v in parse_qs(raw).items()}
+            form = self._read_form()
+            if form is None:
+                return
             text = str(form.get("text", "")).strip()
             if not text:
                 self._send("text required", 400)
@@ -205,38 +227,57 @@ def make_handler(pipeline, defaults, engine=None):
                 self._send("streaming needs a live pipeline (exported bundles "
                            "carry no mel-only programs)", 400)
                 return
-            try:
-                kw = dict(
-                    n_timesteps=int(form.get("steps", defaults["steps"])),
-                    temperature=float(form.get("temperature", defaults["temperature"])),
-                    length_scale=float(form.get("length_scale", defaults["length_scale"])),
-                )
-                if form.get("seed") not in (None, ""):
-                    kw["seed"] = int(form["seed"])
-                if form.get("language"):
-                    kw["language"] = str(form["language"])
-                spk = int(form.get("spk", defaults["spk"]))
-            except (TypeError, ValueError) as e:
-                self._send(f"bad numeric field: {e}", 400)
+            parsed = self._parse_params(form)
+            if parsed is None:
                 return
+            kw, spk = parsed
             from emojivoice_tpu.inference.longform import split_text
             from emojivoice_tpu.inference.pipeline import SAMPLE_RATE
             from emojivoice_tpu.inference.streaming import stream_synthesise
+
+            # Pre-flight: pull the FIRST chunk before any header goes out.
+            # stream_synthesise is a lazy generator, so request faults
+            # (unknown language, bucket overflow) would otherwise surface at
+            # first next() — after the 200 — leaving the client a
+            # "successful" empty WAV.  Materializing chunk 0 here lets those
+            # map to 400/500 like the non-stream path; it costs nothing
+            # (chunk 0 had to be computed before any byte could flow anyway).
+            segments = split_text(text)
+            first_gen = stream_synthesise(pipeline, segments[0], spk=spk, **kw)
+            try:
+                first_chunk = next(first_gen, None)
+            except (ValueError, KeyError) as e:
+                self._send(f"bad request: {e}", 400)
+                return
+            except Exception as e:  # noqa: BLE001 — backend fault → 500
+                self._send(f"synthesis failed: {type(e).__name__}: {e}", 500)
+                return
 
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Connection", "close")
             self.end_headers()
+
+            def _pcm(chunk) -> bytes:
+                return (np.clip(chunk, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
             try:
                 self.wfile.write(_wav_stream_header(SAMPLE_RATE))
-                for i, seg in enumerate(split_text(text)):
-                    if i:  # inter-segment gap like the long-form path
-                        self.wfile.write(b"\x00\x00" * int(0.15 * SAMPLE_RATE))
+                if first_chunk is not None:
+                    self.wfile.write(_pcm(first_chunk))
+                for chunk in first_gen:
+                    self.wfile.write(_pcm(chunk))
+                for seg in segments[1:]:
+                    # inter-segment gap like the long-form path
+                    self.wfile.write(b"\x00\x00" * int(0.15 * SAMPLE_RATE))
                     for chunk in stream_synthesise(pipeline, seg, spk=spk, **kw):
-                        pcm = (np.clip(chunk, -1.0, 1.0) * 32767.0).astype("<i2")
-                        self.wfile.write(pcm.tobytes())
+                        self.wfile.write(_pcm(chunk))
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client hung up mid-stream — normal for streaming
+            except Exception:  # noqa: BLE001 — a later segment failed after
+                # bytes flowed; the status is already on the wire, so the
+                # only honest signal left is cutting the connection short
+                pass
 
     return Handler
 

@@ -33,6 +33,10 @@ _decimal_re = re.compile(r"(\d+)\.(\d+)")
 _ordinal_re = re.compile(r"(\d+)(st|nd|rd|th)\b")
 _year_re = re.compile(r"\b(1[5-9]\d\d|20\d\d)\b")
 _number_re = re.compile(r"\d+")
+# version/id runs (2.1.3, 192.168.0.1): ≥2 separators — read each component
+# as a cardinal joined by the locale decimal word, so no separator survives
+# glued between verbalized words as a spurious sentence-internal pause
+_version_re = re.compile(r"\d+(?:[.,]\d+){2,}")
 
 
 def _three_digits(n: int) -> str:
@@ -92,6 +96,11 @@ def year_to_words(n: int) -> str:
 
 def expand_numbers_en(text: str) -> str:
     text = _comma_number_re.sub(lambda m: m.group(1).replace(",", ""), text)
+    text = _version_re.sub(
+        lambda m: " point ".join(number_to_words(int(p))
+                                 for p in re.split(r"[.,]", m.group(0))),
+        text,
+    )
     text = _ordinal_re.sub(lambda m: ordinal_to_words(int(m.group(1))), text)
     text = _year_re.sub(lambda m: year_to_words(int(m.group(1))), text)
     text = _decimal_re.sub(
@@ -247,6 +256,12 @@ def _es_under_1000(n: int) -> str:
     return _ES_HUNDREDS[h] + (f" {_es_under_1000(rest)}" if rest else "")
 
 
+def _es_apocope(words: str) -> str:
+    """Apocope before a masculine noun (mil/millones): veintiuno → veintiún,
+    trailing uno → un.  Order matters — veintiuno contains uno."""
+    return words.replace("veintiuno", "veintiún").replace("uno", "un")
+
+
 def number_to_words_es(n: int) -> str:
     if n < 0:
         return "menos " + number_to_words_es(-n)
@@ -255,11 +270,14 @@ def number_to_words_es(n: int) -> str:
     parts = []
     if n >= 10 ** 6:
         q, n = divmod(n, 10 ** 6)
-        parts.append("un millón" if q == 1 else f"{number_to_words_es(q)} millones")
+        # 21 000 000 = "veintiún millones" — the apocope applies before
+        # millones exactly as before mil
+        parts.append("un millón" if q == 1
+                     else f"{_es_apocope(number_to_words_es(q))} millones")
     if n >= 1000:
         q, n = divmod(n, 1000)
         # "mil", "dos mil"; 21000 = "veintiún mil" (apocope before mil)
-        q_words = "" if q == 1 else _es_under_1000(q).replace("veintiuno", "veintiún").replace("uno", "un") + " "
+        q_words = "" if q == 1 else _es_apocope(_es_under_1000(q)) + " "
         parts.append(f"{q_words}mil")
     if n:
         parts.append(_es_under_1000(n))
@@ -296,8 +314,13 @@ def number_to_words_ja(n: int) -> str:
         return "mainasu " + number_to_words_ja(-n)
     if n == 0:
         return "zero"
+    if n >= 10 ** 20:  # beyond kei myriads: read digit by digit (the same
+        # backstop the English expander uses past its scale table — a run
+        # this long is an id/serial, not a quantity)
+        return " ".join(_JA_DIGITS[int(d)] for d in str(n))
     parts = []
-    for scale, name in ((10 ** 12, "chou"), (10 ** 8, "oku"), (10 ** 4, "man")):
+    for scale, name in ((10 ** 16, "kei"), (10 ** 12, "chou"),
+                        (10 ** 8, "oku"), (10 ** 4, "man")):
         if n >= scale:
             q, n = divmod(n, scale)
             parts.append(f"{_ja_under_10000(q)} {name}")
@@ -320,19 +343,44 @@ _DIGIT_WORDS = {
 }
 # non-en locales write decimals with a comma; inputs use either separator
 _any_decimal_re = re.compile(r"(\d+)[.,](\d+)")
+# locale digit grouping — collapsed BEFORE decimal handling so German
+# "1.000 Euro" speaks eintausend, not "eins Komma null null null" (espeak,
+# whose bare-digit behavior this path mirrors, reads grouped thousands as
+# one number).  de/es/fr group with '.'; ja groups Western-style with ','.
+# The dot pattern refuses a following [.,]digit so version/id runs
+# (192.168.0.1) fall through to _version_re instead, while a trailing
+# decimal part ("1.000,5") stays attached.
+_dot_group_re = re.compile(r"(?<![\d.,])(\d{1,3}(?:\.\d{3})+)(?!\.?\d)")
+_comma_group_re = re.compile(r"(?<![\d.,])(\d{1,3}(?:,\d{3})+)(?!,?\d)")
+# English-style comma grouping with ≥2 groups is unambiguous in any locale
+# (a decimal has exactly one separator) — collapse it everywhere
+_multi_comma_group_re = re.compile(r"(?<![\d.,])(\d{1,3}(?:,\d{3}){2,})(?!,?\d)")
+_GROUPING_RES = {"de": _dot_group_re, "es": _dot_group_re, "fr": _dot_group_re,
+                 "ja": _comma_group_re}
 
 
 def verbalize_numbers(text: str, language: str) -> str:
     """Language-dispatched digit verbalization for the grapheme fallback.
 
     English rides the full expander (ordinals/years/comma groups); the other
-    languages expand cardinals and decimals — both '.' and ',' separate a
-    decimal part (read digit by digit), matching how espeak reads bare digit
-    runs.  Unknown languages fall back to English."""
+    languages collapse locale digit grouping, then expand cardinals and
+    decimals — both '.' and ',' separate a decimal part (read digit by digit),
+    matching how espeak reads bare digit runs.  Version/id runs with ≥2
+    separators read component-by-component ("2.1.3" → "deux virgule un
+    virgule trois").  Unknown languages fall back to English."""
     lang = language if language in _CARDINALS else "en"
     if lang == "en":
         return expand_numbers_en(text)
     words, digits, sep = _CARDINALS[lang], _DIGIT_WORDS[lang], _DECIMAL_WORD[lang]
+    group_re = _GROUPING_RES[lang]
+    text = group_re.sub(lambda m: m.group(1).replace(".", "").replace(",", ""), text)
+    if group_re is not _comma_group_re:
+        text = _multi_comma_group_re.sub(lambda m: m.group(1).replace(",", ""), text)
+    text = _version_re.sub(
+        lambda m: f" {sep} ".join(words(int(p))
+                                  for p in re.split(r"[.,]", m.group(0))),
+        text,
+    )
     text = _any_decimal_re.sub(
         lambda m: f"{words(int(m.group(1)))} {sep} "
         + " ".join(digits[int(d)] for d in m.group(2)), text)

@@ -82,6 +82,10 @@ def test_multilingual_cardinals():
     assert number_to_words_es(500) == "quinientos"
     assert number_to_words_es(21000) == "veintiún mil"
     assert number_to_words_es(2000000) == "dos millones"
+    # the apocope applies before millones exactly as before mil
+    assert number_to_words_es(21000000) == "veintiún millones"
+    assert number_to_words_es(31000000) == "treinta y un millones"
+    assert number_to_words_es(1000000000) == "mil millones"
 
     assert number_to_words_ja(11) == "juu ichi"
     assert number_to_words_ja(300) == "sanbyaku"
@@ -91,6 +95,46 @@ def test_multilingual_cardinals():
     assert number_to_words_ja(8000) == "hassen"
     assert number_to_words_ja(10000) == "ichi man"
     assert number_to_words_ja(20500) == "ni man gohyaku"
+    # the myriad ladder continues at kei (10^16); past it a digit run is an
+    # id/serial and reads digit by digit instead of raising KeyError
+    assert number_to_words_ja(10 ** 16) == "ichi kei"
+    assert number_to_words_ja(12345678901234567) == (
+        "ichi kei nisen sanbyaku yonjuu go chou rokusen nanahyaku hachijuu "
+        "kyuu oku hyaku nijuu san man yonsen gohyaku rokujuu nana")
+    assert number_to_words_ja(10 ** 20) == ("ichi" + " zero" * 20)
+
+
+def test_verbalize_numbers_grouping_and_versions():
+    """Locale thousands grouping collapses before decimal handling, and
+    multi-separator runs (versions, IPs, long serials) read component by
+    component instead of leaving a separator glued between words."""
+    from emojivoice_tpu.text.numbers import verbalize_numbers
+
+    # German/Spanish/French group thousands with '.' — espeak reads these as
+    # one number, not as a decimal
+    assert verbalize_numbers("1.000 Euro", "de") == "eintausend Euro"
+    # number_to_words_de lowercases its output (the grapheme fallback
+    # lowercases downstream anyway)
+    assert verbalize_numbers("1.000.000 Euro", "de") == "eine million Euro"
+    assert verbalize_numbers("1.000,5 kg", "de") == "eintausend Komma fünf kg"
+    assert verbalize_numbers("2.500 personas", "es") == "dos mil quinientos personas"
+    # Japanese groups Western-style with ','
+    assert verbalize_numbers("1,000 en", "ja") == "sen en"
+    # English-style comma grouping with >=2 groups is unambiguous anywhere
+    assert verbalize_numbers("1,000,000", "fr") == "un million"
+    # a single comma group stays a decimal in comma-decimal locales
+    assert verbalize_numbers("1,000", "fr") == "un virgule zéro zéro zéro"
+    # version runs: every component spoken, no stray separator glued between
+    assert verbalize_numbers("version 2.1.3", "fr") == "version deux virgule un virgule trois"
+    assert verbalize_numbers("192.168.0.1", "de") == (
+        "einhundertzweiundneunzig Komma einhundertachtundsechzig Komma null Komma eins")
+    from emojivoice_tpu.text.numbers import expand_numbers_en
+
+    assert expand_numbers_en("v2.1.3") == "vtwo point one point three"
+    # a huge digit run must not crash any language's cleaner pipeline
+    from emojivoice_tpu.text.cleaners import japanese_cleaners
+
+    assert japanese_cleaners("12345678901234567です")
 
 
 def test_verbalize_numbers_dispatch():

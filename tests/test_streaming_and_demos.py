@@ -197,6 +197,48 @@ def test_webapp_stream_endpoint(pipe):
         server.shutdown()
 
 
+def test_webapp_error_statuses(pipe):
+    """Request faults answer real HTTP statuses on every endpoint: malformed
+    JSON bodies are a 400 (not a traceback/connection reset), and a stream
+    request with an unknown language 400s BEFORE the response starts —
+    stream_synthesise is lazy, so without the pre-flight the client would
+    get a 'successful' empty WAV."""
+    import urllib.error
+
+    from emojivoice_tpu.apps.webapp import serve
+
+    server = serve(pipe, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        def post(path, data, ctype="application/json"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=data,
+                headers={"Content-Type": ctype})
+            return urllib.request.urlopen(req, timeout=120)
+
+        for path in ("/api/synthesise", "/api/stream"):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                post(path, b"{bad json")
+            assert exc.value.code == 400
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post("/api/stream", json.dumps(
+                {"text": "hi", "steps": 2, "language": "zz"}).encode())
+        assert exc.value.code == 400
+        assert "zz" in exc.value.read().decode()
+
+        # a valid language override works on both endpoints
+        with post("/api/synthesise", json.dumps(
+                {"text": "hello", "steps": 2, "language": "en"}).encode()) as r:
+            assert json.loads(r.read())["num_samples"] > 0
+        with post("/api/stream", json.dumps(
+                {"text": "hello", "steps": 2, "language": "en"}).encode()) as r:
+            assert len(r.read()) > 44  # header + audio bytes
+    finally:
+        server.shutdown()
+
+
 def test_record_audio_tools(tmp_path, rng):
     from scipy.io import wavfile
 
