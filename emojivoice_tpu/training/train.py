@@ -360,7 +360,12 @@ def _run(args) -> int:
                     batch = pad_batch_to_multiple(batch, n_data)
                 batch = shard_batch(mesh, batch)
                 state, m = train_step(state, batch, rng)
-                step_idx = int(state.step)
+                # host-tracked step: int(state.step) would block on the
+                # device every step (a full tunnel RTT on remote TPUs),
+                # serializing dispatch. apply_gradients increments step by
+                # exactly 1, so counting here keeps steps pipelined; the
+                # log_every metric fetch below bounds the async queue.
+                step_idx += 1
                 data_epoch, data_batch = shuffle_epoch, epoch_base + bi + 1
                 if step_idx % args.log_every == 0:
                     log_metrics("train", step_idx, m)
@@ -372,9 +377,11 @@ def _run(args) -> int:
                     for vb in val_batcher:
                         if shard is None:
                             vb = pad_batch_to_multiple(vb, n_data)
-                        vms.append({k: float(v) for k, v in
-                                    eval_step(state.params, shard_batch(mesh, vb),
-                                              jax.random.PRNGKey(0)).items()})
+                        # keep the per-batch metrics as device arrays so the
+                        # eval dispatches pipeline; one fetch after the sweep
+                        vms.append(eval_step(state.params, shard_batch(mesh, vb),
+                                             jax.random.PRNGKey(0)))
+                    vms = jax.device_get(vms)
                     if vms:
                         avg = {k: float(np.mean([m[k] for m in vms])) for k in vms[0]}
                         log_metrics("val", step_idx, avg)
@@ -420,9 +427,9 @@ def _run(args) -> int:
             for tb_batch in test_batcher:
                 if shard is None:
                     tb_batch = pad_batch_to_multiple(tb_batch, n_data)
-                tms.append({k: float(v) for k, v in
-                            eval_step(state.params, shard_batch(mesh, tb_batch),
-                                      jax.random.PRNGKey(0)).items()})
+                tms.append(eval_step(state.params, shard_batch(mesh, tb_batch),
+                                     jax.random.PRNGKey(0)))
+            tms = jax.device_get(tms)
             if tms:
                 avg = {k: float(np.mean([m[k] for m in tms])) for k in tms[0]}
                 log_metrics("test", step_idx, avg)

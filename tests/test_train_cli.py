@@ -194,8 +194,10 @@ def test_train_to_audio_proof_tiny(tmp_path):
     evidence lives in docs/artifacts/train_proof/."""
     from emojivoice_tpu.training.proof import run_proof
 
+    # log_every=2 exercises the pipelined-metrics cadence (records at every
+    # Nth step only), the steady state of real TPU runs
     s = run_proof("tiny", str(tmp_path / "proof"), steps=16, batch_size=4,
-                  num_devices=2, out_size=100, utts=8)
+                  num_devices=2, out_size=100, utts=8, log_every=2)
     assert s["loss_drop"] > 0
     assert s["steps"] == 16
     assert (tmp_path / "proof" / "proof.wav").exists()

@@ -78,6 +78,22 @@ def main() -> int:
             "shape": [args.b, args.tx, args.ty],
         }))
 
+        # pipelined throughput: dispatch a run of steps without per-step
+        # fetches (the train loop's steady state — it syncs only every
+        # log_every steps), so device compute overlaps the dispatch RTT.
+        # On a remote TPU this is the number that matters: the blocked
+        # per-step figure above pays a full tunnel round trip per step.
+        t0 = dt.datetime.now()
+        for i in range(args.iters):
+            state, m = step(state, batch, host_prng_key(1000 + i))
+        _ = float(m["loss"])  # one sync at the end of the run
+        pipelined_ms = (dt.datetime.now() - t0).total_seconds() * 1e3 / args.iters
+        print(json.dumps({
+            "metric": f"train_step_{precision}_pipelined_ms",
+            "value": round(pipelined_ms, 2), "unit": "ms",
+            "steps_per_s": round(1e3 / pipelined_ms, 2),
+        }))
+
     ks = list(results)
     if len(ks) == 2:
         print(json.dumps({"metric": "bf16_speedup",
