@@ -40,8 +40,18 @@ def parse_filelist(path: str, split_char: str = "|") -> List[List[str]]:
 
 
 class TextMelDataset:
-    def __init__(self, filelist_path: str, cfg: DataConfig):
+    def __init__(self, filelist_path: str, cfg: DataConfig, cache_items: bool = False):
+        """cache_items: keep each decoded item (text ids + normalized mel) in
+        memory after its first epoch.  The reference re-decodes the wav and
+        recomputes the mel every epoch and hides the cost behind 20 DataLoader
+        worker processes (text_mel_datamodule.py:96-98,199-221); this host has
+        one core, and with the pipelined train loop the per-batch mel
+        extraction (~30 ms at fine-tune shapes) is the throughput ceiling from
+        epoch 2 on.  Opt-in because it trades memory (~55 KB per 2 s
+        utterance) — right for 2-min-per-emoji fine-tune sets, wrong for
+        LJSpeech-scale corpora (~2 GB)."""
         self.cfg = cfg
+        self._cache: Optional[dict] = {} if cache_items else None
         entries = parse_filelist(filelist_path)
         self.items = []
         for e in entries:
@@ -50,6 +60,18 @@ class TextMelDataset:
             else:
                 path, spk, text = e[0], 0, e[1]
             self.items.append((path, spk, text))
+        if cfg.n_spks > 1:
+            # loud host-side check: flax nn.Embed fills out-of-range lookups
+            # with NaN under jit, so a filelist speaker id >= n_spks would
+            # silently NaN every loss from step 1 (the reference's torch
+            # nn.Embedding raises IndexError instead — keep the failure loud)
+            bad = next(((p, s) for p, s, _ in self.items
+                        if not 0 <= s < cfg.n_spks), None)
+            if bad is not None:
+                raise ValueError(
+                    f"{filelist_path}: speaker id {bad[1]} for {bad[0]!r} is "
+                    f"outside [0, {cfg.n_spks}) — fix the filelist or the "
+                    f"preset's n_spks")
         rng = random.Random(cfg.seed)
         rng.shuffle(self.items)
 
@@ -91,6 +113,8 @@ class TextMelDataset:
         return x_len, mel_len
 
     def __getitem__(self, idx: int) -> dict:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         path, spk, text = self.items[idx]
         ids, cleaned = self._encode_text(text)
         x = np.asarray(ids, np.int32)
@@ -110,6 +134,8 @@ class TextMelDataset:
             durs = np.load(dur_path).astype(np.float32)
             assert len(durs) == len(x), f"{dur_path}: {len(durs)} durations vs {len(x)} tokens"
             item["durations"] = durs
+        if self._cache is not None:
+            self._cache[idx] = item
         return item
 
 

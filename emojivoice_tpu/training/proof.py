@@ -122,6 +122,9 @@ def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
         "--log_every", str(log_every),
         "--render_val_samples", str(render_val_samples),
         "--seed", str(seed),
+        # proof data is always fine-tune scale (tens of utterances) — cache
+        # decoded mels so epochs >= 2 don't pay host-side mel extraction
+        "--cache_data",
     ])
     assert rc == 0, "training CLI failed"
 

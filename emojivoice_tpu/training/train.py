@@ -77,6 +77,10 @@ def build_parser():
                    help="cap batches per epoch (debug/limit.yaml)")
     p.add_argument("--detect_anomaly", action="store_true",
                    help="fail fast on NaN/Inf (debug/default.yaml detect_anomaly)")
+    p.add_argument("--cache_data", action="store_true",
+                   help="keep decoded items (text ids + mels) in memory after "
+                        "epoch 1 — right for fine-tune-scale sets on this "
+                        "1-core host, wrong for LJSpeech-scale corpora")
     return p
 
 
@@ -226,8 +230,8 @@ def _run(args) -> int:
                      f"batch {resumed_data_state['batch']})" if resumed_data_state else ""),
                   flush=True)
 
-    train_ds = TextMelDataset(args.train_filelist, data_cfg)
-    valid_ds = TextMelDataset(args.valid_filelist, data_cfg)
+    train_ds = TextMelDataset(args.train_filelist, data_cfg, cache_items=args.cache_data)
+    valid_ds = TextMelDataset(args.valid_filelist, data_cfg, cache_items=args.cache_data)
     min_mel = args.out_size if args.out_size else None
     # multi-process: every process walks the same global batch order/buckets
     # but loads only its row slice (data/dataset.py _collate_process_shard)

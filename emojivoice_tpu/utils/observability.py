@@ -141,6 +141,10 @@ class TensorBoardWriter:
     def image(self, tag: str, image_hwc: np.ndarray, step: int):
         """image_hwc: (H, W) or (H, W, C) float array."""
         img = np.asarray(image_hwc)
+        if img.size == 0:
+            # a degenerate render (e.g. zero predicted frames early in
+            # training) must not crash the training loop at a val step
+            return
         if img.ndim == 2:
             img = img[..., None]
         path = self.log_dir / f"{tag.replace('/', '_')}_{step}.png"

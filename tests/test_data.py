@@ -73,6 +73,49 @@ def test_dataset_item(wav_dataset):
     assert np.isfinite(item["y"]).all()
 
 
+def test_dataset_rejects_out_of_range_speaker(wav_dataset, tmp_path):
+    """A filelist speaker id >= n_spks must fail loudly at load: flax
+    nn.Embed fills out-of-range lookups with NaN under jit, which would
+    otherwise surface only as loss=nan at step 1 (torch nn.Embedding, the
+    reference path, raises IndexError)."""
+    filelist, cfg = wav_dataset
+    rows = open(filelist).read().splitlines()
+    bad = tmp_path / "bad.txt"
+    p, _, t = rows[0].split("|")
+    bad.write_text("\n".join(rows + [f"{p}|7|{t}"]) + "\n")
+    with pytest.raises(ValueError, match=r"speaker id 7 .* outside \[0, 3\)"):
+        TextMelDataset(str(bad), cfg)
+
+
+def test_dataset_cache_items(wav_dataset, monkeypatch):
+    """cache_items=True decodes each wav exactly once and returns identical
+    content on later epochs (the reference re-decodes every epoch behind 20
+    DataLoader workers, text_mel_datamodule.py:96-98; this host has 1 core)."""
+    import emojivoice_tpu.data.dataset as dsmod
+
+    filelist, cfg = wav_dataset
+    calls = {"n": 0}
+    real = dsmod.load_wav
+
+    def counting_load(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(dsmod, "load_wav", counting_load)
+    ds = TextMelDataset(filelist, cfg, cache_items=True)
+    first = [ds[i] for i in range(len(ds))]
+    assert calls["n"] == len(ds)
+    second = [ds[i] for i in range(len(ds))]
+    assert calls["n"] == len(ds)  # no re-decode
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["y"], b["y"])
+    # default stays uncached (LJSpeech-scale corpora must not be pinned)
+    ds2 = TextMelDataset(filelist, cfg)
+    _ = ds2[0], ds2[0]
+    assert calls["n"] == len(ds) + 2
+
+
 def test_bucket_batcher(wav_dataset):
     filelist, cfg = wav_dataset
     ds = TextMelDataset(filelist, cfg)
