@@ -77,6 +77,21 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     )
 
 
+def shard_chunk(mesh: Mesh, chunk: dict, axis: str = "data") -> dict:
+    """shard_batch for a multi-step chunk: leaves are stacked (K, B, ...)
+    and the BATCH dim to shard is dim 1 (dim 0 is the scan axis of
+    training.state.make_train_multi_step)."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), chunk
+        )
+    # single process: numpy rides the dispatch (see shard_batch)
+    return jax.tree.map(
+        lambda x: x if isinstance(x, np.ndarray) else jax.device_put(x, sharding), chunk
+    )
+
+
 def pad_batch_to_multiple(batch: dict, n: int) -> dict:
     """Pad the batch dim up to a multiple of n by repeating the final row,
     and attach a "row_mask" (B,) f32 — 1 for real rows, 0 for padding.

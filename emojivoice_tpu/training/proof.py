@@ -69,7 +69,8 @@ def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
               num_devices: int = 2, out_size: int = 172, seed: int = 0,
               window: int = 5, utts: int = 22, val_every_steps: int = 0,
               ckpt_every_steps: int = 0, render_val_samples: int = 0,
-              use_compilation_cache: bool = False, log_every: int = 1) -> dict:
+              use_compilation_cache: bool = False, log_every: int = 1,
+              steps_per_dispatch: int = 1, wire_f16: bool = False) -> dict:
     import jax
 
     if use_compilation_cache:  # TPU runs: remote compiles take minutes
@@ -125,7 +126,8 @@ def run_proof(preset: str, out_dir: str, steps: int = 40, batch_size: int = 4,
         # proof data is always fine-tune scale (tens of utterances) — cache
         # decoded mels so epochs >= 2 don't pay host-side mel extraction
         "--cache_data",
-    ])
+        "--steps_per_dispatch", str(steps_per_dispatch),
+    ] + (["--wire_f16"] if wire_f16 else []))
     assert rc == 0, "training CLI failed"
 
     # 4. losses decreased — windowed means, not a smoke check
@@ -223,6 +225,11 @@ def main(argv=None) -> int:
     p.add_argument("--log_every", type=int, default=1,
                    help="metric cadence; 1 = per-step loss curve (syncs the "
                         "device each step), >1 lets dispatches pipeline")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="K>1 runs K optimizer steps per compiled dispatch "
+                        "(lax.scan) — amortizes the tunnel round trip")
+    p.add_argument("--wire_f16", action="store_true",
+                   help="ship mels host→device as f16 (transfer-bound steps)")
     args = p.parse_args(argv)
     summary = run_proof(args.preset, args.out_dir, steps=args.steps,
                         batch_size=args.batch_size, num_devices=args.num_devices,
@@ -231,7 +238,9 @@ def main(argv=None) -> int:
                         ckpt_every_steps=args.ckpt_every_steps,
                         render_val_samples=args.render_val_samples,
                         use_compilation_cache=args.compilation_cache,
-                        log_every=args.log_every)
+                        log_every=args.log_every,
+                        steps_per_dispatch=args.steps_per_dispatch,
+                        wire_f16=args.wire_f16)
     if args.artifact_dir:
         art = Path(args.artifact_dir)
         art.mkdir(parents=True, exist_ok=True)

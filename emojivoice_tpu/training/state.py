@@ -30,6 +30,7 @@ from emojivoice_tpu.config import ModelConfig, OptimizerConfig
 from emojivoice_tpu.models import MatchaTTS
 from emojivoice_tpu.utils.trees import cast_floats as _cast_floats
 from emojivoice_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 @flax.struct.dataclass
@@ -123,20 +124,10 @@ def _losses(model: MatchaTTS, params, batch, rng, out_size, deterministic):
     return dur, prior, diff, {}
 
 
-def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None, axis: str = "data",
-                    precision: str = "f32"):
-    """Build the jitted data-parallel train step:
-    (state, batch, rng) → (state, metrics).
-
-    batch: {"x": (B,Tx) i32, "x_lengths": (B,), "y": (B,Ty,n_feats),
-            "y_lengths": (B,), "spks": (B,) [multi-speaker],
-            "durations": (B,Tx) [optional]}.
-
-    precision "bf16-mixed" (the reference trainer's `precision: 16-mixed`,
-    configs/trainer/default.yaml) runs the forward/backward compute in
-    bfloat16 while parameters, loss reductions, gradients and optimizer
-    state stay f32 — TPU bf16 needs no loss scaling.
-    """
+def _build_step_fn(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, precision: str):
+    """The un-jitted single optimizer step (state, batch, rng) → (state,
+    metrics) — shared by make_train_step (one dispatch per step) and
+    make_train_multi_step (K steps per dispatch via lax.scan)."""
     model = MatchaTTS(cfg=model_cfg)
     tx = make_optimizer(opt_cfg)
     sched = make_schedule(opt_cfg)
@@ -144,6 +135,12 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
     compute_dtype = _dtype_for(precision)
 
     def step_fn(state: TrainState, batch, rng):
+        # wire-format upcast: the train CLI's --wire_f16 ships mels as f16
+        # (halves the dominant host→device transfer; on tunneled TPUs the
+        # step is transfer-bound); compute stays f32 from here on. A no-op
+        # for f32 inputs.
+        if batch["y"].dtype != jnp.float32:
+            batch = {**batch, "y": batch["y"].astype(jnp.float32)}
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -178,6 +175,25 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
         }
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None, axis: str = "data",
+                    precision: str = "f32"):
+    """Build the jitted data-parallel train step:
+    (state, batch, rng) → (state, metrics).
+
+    batch: {"x": (B,Tx) i32, "x_lengths": (B,), "y": (B,Ty,n_feats),
+            "y_lengths": (B,), "spks": (B,) [multi-speaker],
+            "durations": (B,Tx) [optional]}.
+
+    precision "bf16-mixed" (the reference trainer's `precision: 16-mixed`,
+    configs/trainer/default.yaml) runs the forward/backward compute in
+    bfloat16 while parameters, loss reductions, gradients and optimizer
+    state stay f32 — TPU bf16 needs no loss scaling.
+    """
+    step_fn = _build_step_fn(model_cfg, opt_cfg, precision)
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -187,6 +203,57 @@ def make_train_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
     return jax.jit(
         step_fn,
         in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_train_multi_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh=None,
+                          axis: str = "data", precision: str = "f32"):
+    """K optimizer steps in ONE compiled program:
+    (state, batches, rng, step_mask) → (state, metrics).
+
+    batches: the single-step batch dict with every leaf stacked to
+    (K, B, ...); step_mask: (K,) f32 — 1 for a real step, 0 for chunk
+    padding (the state passes through such a sub-step unchanged, so the
+    caller can pad a partial chunk to the compiled K by repeating a batch).
+    metrics come back stacked (K,) per key; the caller filters by mask.
+
+    Why: each dispatch to a remote TPU pays a host↔device round trip (~30 ms
+    through this environment's tunnel — tools/bench_train.py), which at
+    ~8 ms device compute per step is the training-throughput ceiling no
+    matter how pipelined the host loop is.  Scanning K steps device-side
+    amortizes that round trip over K optimizer steps; the batch chunk rides
+    the one dispatch.  Numerics are EXACTLY the single-step loop's: the
+    per-step PRNG is fold_in(rng, state.step) inside the shared step_fn, so
+    the same base rng produces the same per-step streams either way
+    (pinned in tests/test_training.py).  The reference has no analog — its
+    Lightning loop is one optimizer step per Python iteration.
+    """
+    step_fn = _build_step_fn(model_cfg, opt_cfg, precision)
+
+    def multi_fn(state: TrainState, batches, rng, step_mask):
+        def body(st, xs):
+            b, mask = xs
+            new_st, m = step_fn(st, b, rng)
+            # masked sub-step: pass the ENTIRE state through unchanged
+            # (an optimizer step with zero grads is NOT a no-op — Adam
+            # moments decay — so masking after the fact is the only exact
+            # form). jnp.where keeps it one fused select per leaf.
+            st = jax.tree.map(lambda n, o: jnp.where(mask > 0, n, o), new_st, st)
+            return st, m
+
+        return jax.lax.scan(body, state, (batches, step_mask))
+
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=(0,))
+
+    repl = replicated_sharding(mesh)
+    chunk = NamedSharding(mesh, P(None, axis))  # (K, B, ...): shard the batch dim
+    state_sh = train_state_shardings(model_cfg, opt_cfg, mesh)
+    return jax.jit(
+        multi_fn,
+        in_shardings=(state_sh, chunk, repl, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
@@ -231,6 +298,8 @@ def make_eval_step(model_cfg: ModelConfig, mesh=None, axis: str = "data", precis
     compute_dtype = _dtype_for(precision)
 
     def eval_fn(params, batch, rng):
+        if batch["y"].dtype != jnp.float32:  # --wire_f16 transfers (see step_fn)
+            batch = {**batch, "y": batch["y"].astype(jnp.float32)}
         if compute_dtype != jnp.float32:
             params = _cast_floats(params, compute_dtype)
             batch = _cast_floats(batch, compute_dtype)

@@ -188,6 +188,35 @@ def test_make_schedule_shapes():
     np.testing.assert_allclose(float(warm(10)), 1e-4, rtol=1e-6)
 
 
+def test_steps_per_dispatch_matches_per_step_run(tmp_path, dataset):
+    """--steps_per_dispatch 4 (K-step lax.scan chunks, partial chunks padded
+    with masked sub-steps) reproduces the K=1 run's train metrics at the
+    same steps and fires val at the same cadence boundary."""
+    from emojivoice_tpu.training.train import main
+
+    train, val, _ = dataset
+
+    def run(tag, extra):
+        out = tmp_path / tag
+        rc = main([
+            "--preset", "tiny", "--train_filelist", str(train),
+            "--valid_filelist", str(val), "--out_dir", str(out),
+            "--batch_size", "2", "--max_steps", "6", "--num_devices", "2",
+            "--val_every_steps", "4", "--log_every", "2", "--seed", "0"] + extra)
+        assert rc == 0, tag
+        return [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
+
+    r1 = run("k1", [])
+    r4 = run("k4", ["--steps_per_dispatch", "4"])
+    t1 = [(r["step"], r["loss"]) for r in r1 if r["tag"] == "train"]
+    t4 = [(r["step"], r["loss"]) for r in r4 if r["tag"] == "train"]
+    assert [s for s, _ in t1] == [s for s, _ in t4] and t1
+    for (s, a), (_, b) in zip(t1, t4):
+        np.testing.assert_allclose(b, a, rtol=1e-3, err_msg=f"step {s}")
+    assert [r["step"] for r in r1 if r["tag"] == "val"] == \
+           [r["step"] for r in r4 if r["tag"] == "val"] == [4]
+
+
 def test_train_to_audio_proof_tiny(tmp_path):
     """The fine-tune-from-torch-ckpt → N-step train → serve-audio proof loop
     (emojivoice_tpu.training.proof) at tiny scale; the committed flagship-run

@@ -43,6 +43,98 @@ def test_train_step_single_device():
     assert float(m_n["loss"]) < float(m1["loss"]) * 1.5
 
 
+def test_wire_f16_mels_train_close_to_f32():
+    """f16-wire mels (--wire_f16: halve the host→device transfer, upcast
+    in-graph before any compute) train within quantization noise of the f32
+    path — same program semantics, input quantized at ~2e-3 on log-mels."""
+    cfg = tiny_cfg()
+    opt = OptimizerConfig()
+    step = make_train_step(cfg, opt)
+    batch = make_batch()
+    rng = jax.random.PRNGKey(0)
+    s_f32, m_f32 = step(create_train_state(cfg, opt, seed=0), batch, rng)
+    b16 = {**batch, "y": np.asarray(batch["y"]).astype(np.float16)}
+    s_f16, m_f16 = step(create_train_state(cfg, opt, seed=0), b16, rng)
+    assert int(s_f16.step) == 1
+    np.testing.assert_allclose(float(m_f16["loss"]), float(m_f32["loss"]), rtol=1e-2)
+    for k in ("dur_loss", "prior_loss", "diff_loss"):
+        np.testing.assert_allclose(float(m_f16[k]), float(m_f32[k]), rtol=2e-2, err_msg=k)
+
+
+def test_multi_step_matches_sequential_and_masks_padding():
+    """make_train_multi_step: K scanned optimizer steps == K sequential
+    single-step dispatches (same per-step rng via fold_in(step); float-level
+    tolerance — the scan body compiles with different fusion than the
+    standalone program), and a masked sub-step passes the state through
+    BIT-exactly (Adam moments decay on a zero-grad step, so masking after
+    the fact is the only exact padding)."""
+    from emojivoice_tpu.training import make_train_multi_step
+
+    cfg = tiny_cfg()
+    opt = OptimizerConfig()
+    batches = [make_batch(seed=i) for i in range(2)]
+    rng = jax.random.PRNGKey(7)
+
+    step = make_train_step(cfg, opt)
+    s_seq = create_train_state(cfg, opt, seed=0)
+    seq_metrics = []
+    for b in batches:
+        s_seq, m = step(s_seq, b, rng)
+        seq_metrics.append({k: float(v) for k, v in m.items()})
+
+    multi = make_train_multi_step(cfg, opt)
+    s_multi = create_train_state(cfg, opt, seed=0)
+    stacked = {k: jnp.stack([batches[0][k], batches[1][k], batches[1][k]])
+               for k in batches[0]}
+    s_multi, mm = multi(s_multi, stacked, rng, np.array([1.0, 1.0, 0.0], np.float32))
+    mm = jax.device_get(mm)
+
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    for i, ms in enumerate(seq_metrics):
+        for k, v in ms.items():
+            np.testing.assert_allclose(float(mm[k][i]), v, rtol=1e-5, atol=1e-6, err_msg=f"{k}@{i}")
+    for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+    # all-masked chunk: bit-exact no-op (same program, pure select)
+    s0 = create_train_state(cfg, opt, seed=3)
+    ref = jax.device_get(s0.params)
+    s1, _ = multi(s0, stacked, rng, np.zeros(3, np.float32))
+    assert int(s1.step) == 0
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_8device_mesh():
+    """The K-step scan program over the virtual 8-device mesh: chunk leaves
+    (K, B, ...) shard the BATCH dim (dim 1, parallel/mesh.shard_chunk) and
+    match the replicated single-step sequence."""
+    from emojivoice_tpu.parallel.mesh import shard_chunk
+    from emojivoice_tpu.training import make_train_multi_step
+
+    cfg = tiny_cfg()
+    opt = OptimizerConfig()
+    rng = jax.random.PRNGKey(7)
+    batches = [make_batch(b=8, seed=i) for i in range(2)]
+
+    s_seq = create_train_state(cfg, opt, seed=0)
+    step = make_train_step(cfg, opt)
+    for b in batches:
+        s_seq, _ = step(s_seq, b, rng)
+
+    mesh = make_mesh(8)
+    multi = make_train_multi_step(cfg, opt, mesh=mesh)
+    s_multi = create_train_state(cfg, opt, seed=0)
+    stacked = {k: np.stack([np.asarray(batches[0][k]), np.asarray(batches[1][k])])
+               for k in batches[0]}
+    s_multi, mm = multi(s_multi, shard_chunk(mesh, stacked), rng,
+                        np.ones(2, np.float32))
+    assert int(s_multi.step) == 2
+    assert np.isfinite(np.asarray(mm["loss"])).all()
+    for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
 def test_train_step_out_size_crop():
     import dataclasses
 

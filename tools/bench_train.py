@@ -26,6 +26,8 @@ def main() -> int:
     p.add_argument("--out_size", type=int, default=172)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--precisions", default="f32,bf16-mixed")
+    p.add_argument("--steps_per_dispatch", type=int, default=0,
+                   help="also bench K steps per compiled dispatch (lax.scan)")
     args = p.parse_args()
 
     import dataclasses
@@ -93,6 +95,45 @@ def main() -> int:
             "value": round(pipelined_ms, 2), "unit": "ms",
             "steps_per_s": round(1e3 / pipelined_ms, 2),
         }))
+
+        if args.steps_per_dispatch > 1:
+            # K steps per compiled dispatch (lax.scan), FRESH numpy chunk per
+            # dispatch — the real train-loop case, where each dispatch also
+            # carries its batch data through the tunnel.  Amortizes the
+            # round trip over K optimizer steps (--steps_per_dispatch in the
+            # train CLI).
+            from emojivoice_tpu.training import make_train_multi_step
+
+            k = args.steps_per_dispatch
+            multi = make_train_multi_step(cfg, OptimizerConfig(), precision=precision)
+            state = create_train_state(cfg, OptimizerConfig(), seed=0)
+            def chunk_of(i):
+                r = np.random.default_rng(i)
+                return {
+                    "x": r.integers(1, 170, size=(k, args.b, args.tx)).astype(np.int32),
+                    "x_lengths": r.integers(args.tx // 2, args.tx + 1, (k, args.b)).astype(np.int32),
+                    "y": r.normal(size=(k, args.b, args.ty, cfg.n_feats)).astype(np.float32),
+                    "y_lengths": r.integers(args.ty // 2, args.ty + 1, (k, args.b)).astype(np.int32),
+                    "spks": r.integers(0, cfg.n_spks, size=(k, args.b)).astype(np.int32),
+                }
+            mask = np.ones((k,), np.float32)
+            t0 = dt.datetime.now()
+            state, m = multi(state, chunk_of(0), host_prng_key(0), mask)
+            _ = float(np.sum(np.asarray(m["loss"])))
+            scan_compile_s = (dt.datetime.now() - t0).total_seconds()
+            n_chunks = max(1, args.iters // k)
+            chunks = [chunk_of(i + 1) for i in range(n_chunks)]  # pre-gen: host cost excluded
+            t0 = dt.datetime.now()
+            for i in range(n_chunks):
+                state, m = multi(state, chunks[i], host_prng_key(2000 + i), mask)
+            _ = float(np.sum(np.asarray(m["loss"])))
+            chunk_ms = (dt.datetime.now() - t0).total_seconds() * 1e3 / (n_chunks * k)
+            print(json.dumps({
+                "metric": f"train_step_{precision}_k{k}_ms",
+                "value": round(chunk_ms, 2), "unit": "ms",
+                "steps_per_s": round(1e3 / chunk_ms, 2),
+                "scan_compile_s": round(scan_compile_s, 1),
+            }))
 
     ks = list(results)
     if len(ks) == 2:
