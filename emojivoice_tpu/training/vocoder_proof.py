@@ -68,7 +68,8 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
                       use_compilation_cache: bool = False, cfg=None,
                       n_fft: int = 1024, win_size: int = 1024,
                       gen_ckpt: str | None = None,
-                      disc_ckpt: str | None = None) -> dict:
+                      disc_ckpt: str | None = None,
+                      log_every: int = 1) -> dict:
     import jax
 
     if use_compilation_cache:  # TPU runs: remote compiles take minutes
@@ -149,11 +150,15 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     with metrics_path.open("w") as fh:
         for i in range(steps):
             state, m = step(state, sample())
-            m = {k: float(v) for k, v in m.items()}
-            m["step"] = i + 1
-            m["time"] = dt.datetime.now().isoformat()
-            fh.write(json.dumps(m) + "\n")
-            records.append(m)
+            # metric fetch only at the log cadence — fetching every step
+            # blocks the device per step (a tunnel round trip each on remote
+            # TPUs); the alternating GAN step pipelines like the acoustic one
+            if (i + 1) % log_every == 0 or i == steps - 1:
+                m = {k: float(v) for k, v in m.items()}
+                m["step"] = i + 1
+                m["time"] = dt.datetime.now().isoformat()
+                fh.write(json.dumps(m) + "\n")
+                records.append(m)
             if i == 0:
                 jax.block_until_ready(state.gen_params)
                 t0 = dt.datetime.now()  # exclude compile from the wall rate
@@ -165,8 +170,12 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     save_wav(str(out / "after.wav"), after, sr=cfg.sampling_rate)
     assert np.isfinite(after).all()
 
-    # 4. windowed trend asserts — mel-L1 must drop; losses stay finite
+    # 4. windowed trend asserts — mel-L1 must drop; losses stay finite.
+    # The window is in RECORDS, not steps: with log_every>1 there are only
+    # steps//log_every records, so re-clamp here or the first/last windows
+    # could fully overlap and the trend assert would compare a slice to itself.
     mel_l1 = [r["mel_l1"] for r in records]
+    window = max(1, min(window, len(mel_l1) // 2 if len(mel_l1) > 1 else 1))
     first = float(np.mean(mel_l1[:window]))
     last = float(np.mean(mel_l1[-window:]))
     assert last < first, f"mel L1 did not decrease: first={first:.4f} last={last:.4f}"
@@ -215,6 +224,9 @@ def main(argv=None) -> int:
     p.add_argument("--disc_ckpt", default=None,
                    help="warm-start MPD+MSD from an upstream do_* torch ckpt")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--log_every", type=int, default=1,
+                   help="metric cadence; >1 lets dispatches pipeline "
+                        "(per-step fetches block a remote TPU every step)")
     a = p.parse_args(argv)
     if a.cpu:
         import jax
@@ -223,7 +235,8 @@ def main(argv=None) -> int:
     run_vocoder_proof(a.out_dir, steps=a.steps, batch_size=a.batch_size,
                       segment_frames=a.segment_frames, utts=a.utts, seed=a.seed,
                       lr=a.lr, use_compilation_cache=a.compilation_cache,
-                      gen_ckpt=a.gen_ckpt, disc_ckpt=a.disc_ckpt)
+                      gen_ckpt=a.gen_ckpt, disc_ckpt=a.disc_ckpt,
+                      log_every=a.log_every)
     return 0
 
 
