@@ -11,6 +11,17 @@ interleaved blanks merged into the following phoneme
 
 The resulting .npy files feed ``load_durations: True`` training
 (text_mel_datamodule.py:182-197 analog in our data/dataset.py).
+
+``--gen_mels`` additionally saves ``gen_mels/<stem>.npy`` — the model's
+TEACHER-FORCED mel for each utterance: the CFM decode conditioned on the
+ground-truth MAS alignment, so the generated frames line up 1:1 with the
+real waveform.  These are the conditioning inputs for HiFi-GAN fine-tuning
+on model-generated mels (the reference vendors exactly this data path as
+``MelDataset(fine_tuning=True, base_mels_path=...)``,
+Matcha-TTS/matcha/hifigan/meldataset.py:168-200, but ships no tool to
+produce the mels; ``emojivoice-vocoder-proof --gen_mels_dir`` consumes
+them).  Files are channels-last (T_mel, n_feats) f32 in the vocoder's
+log-mel domain (denormalized decoder output).
 """
 
 from __future__ import annotations
@@ -52,6 +63,17 @@ def main(argv=None) -> int:
     p.add_argument("--preset", default="emoji_multi")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--gen_mels", action="store_true",
+                   help="also save gen_mels/<stem>.npy — teacher-forced CFM "
+                        "mels aligned to the ground-truth waveform, for "
+                        "HiFi-GAN fine-tuning (meldataset.py fine_tuning "
+                        "branch analog)")
+    p.add_argument("--n_timesteps", type=int, default=10,
+                   help="CFM Euler steps for --gen_mels")
+    p.add_argument("--temperature", type=float, default=0.667,
+                   help="CFM noise temperature for --gen_mels")
+    p.add_argument("--seed", type=int, default=0,
+                   help="noise stream for --gen_mels (one fold_in per batch)")
     args = p.parse_args(argv)
 
     import jax
@@ -72,19 +94,37 @@ def main(argv=None) -> int:
     batcher = BucketBatcher(ds, args.batch_size, shuffle=False)
     out_dir = Path(args.output_dir)
     (out_dir / "durations").mkdir(parents=True, exist_ok=True)
+    if args.gen_mels:
+        (out_dir / "gen_mels").mkdir(parents=True, exist_ok=True)
 
-    @jax.jit
-    def attn_fn(params, x, x_lengths, y, y_lengths, spks):
-        _, _, _, attn = model.apply(params, x, x_lengths, y, y_lengths, spks,
-                                    rng=jax.random.PRNGKey(0), deterministic=True)
-        return attn
+    def _forward(mdl, x, x_lengths, y, y_lengths, spks, rng):
+        """MAS alignment (training forward), plus — under --gen_mels — the
+        teacher-forced decode: CFM conditioned on mu expanded by the
+        GROUND-TRUTH durations (attn summed over mel frames), so the output
+        covers exactly y_lengths frames, 1:1 with the real wav.  This is the
+        mel HiFi-GAN fine-tuning conditions on (meldataset.py:168-200)."""
+        _, _, _, attn = mdl(x, x_lengths, y, y_lengths, spks,
+                            rng=jax.random.PRNGKey(0), deterministic=True)
+        if not args.gen_mels:  # static at trace time
+            return attn, None
+        mu_x, _, _, x_mask, spk_e = mdl.encode_text(x, x_lengths, spks)
+        out = mdl.decode_mel(mu_x, attn.sum(axis=-1)[..., None], y_lengths,
+                             x_mask, spk_e, y.shape[1],
+                             n_timesteps=args.n_timesteps,
+                             temperature=args.temperature, rng=rng)
+        return attn, out["mel"]
+
+    fwd = jax.jit(lambda p_, *a: model.apply(p_, *a, method=_forward))
 
     idx = 0
-    for batch in batcher:
-        attn = attn_fn(params, jnp.asarray(batch["x"]), jnp.asarray(batch["x_lengths"]),
-                       jnp.asarray(batch["y"]), jnp.asarray(batch["y_lengths"]),
-                       jnp.asarray(batch["spks"]))
+    for bi, batch in enumerate(batcher):
+        attn, gen_mel = fwd(params, jnp.asarray(batch["x"]), jnp.asarray(batch["x_lengths"]),
+                            jnp.asarray(batch["y"]), jnp.asarray(batch["y_lengths"]),
+                            jnp.asarray(batch["spks"]),
+                            jax.random.fold_in(jax.random.PRNGKey(args.seed), bi))
         durs = np.asarray(attn.sum(axis=-1))  # (B, T_x)
+        if gen_mel is not None:
+            gen_mel = np.asarray(gen_mel)
         for i in range(batch["x"].shape[0]):
             item_path, _, _ = ds.items[idx]
             stem = Path(item_path).stem
@@ -95,6 +135,10 @@ def main(argv=None) -> int:
             spans = get_phoneme_durations(d.tolist(), phones)
             with open(out_dir / "durations" / f"{stem}.json", "w") as f:
                 json.dump(spans, f, ensure_ascii=False, indent=1)
+            if gen_mel is not None:
+                ly = int(batch["y_lengths"][i])
+                np.save(out_dir / "gen_mels" / f"{stem}.npy",
+                        gen_mel[i, :ly].astype(np.float32))
             idx += 1
         print(f"[get-durations] {idx}/{len(ds)}", flush=True)
     return 0

@@ -69,7 +69,9 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
                       n_fft: int = 1024, win_size: int = 1024,
                       gen_ckpt: str | None = None,
                       disc_ckpt: str | None = None,
-                      log_every: int = 1) -> dict:
+                      log_every: int = 1,
+                      filelist: str | None = None,
+                      gen_mels_dir: str | None = None) -> dict:
     import jax
 
     if use_compilation_cache:  # TPU runs: remote compiles take minutes
@@ -95,15 +97,42 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    # 1. synthetic 22.05 kHz corpus (same harmonic-stack generator the
-    # acoustic proof uses), held-out last utterance for renders
-    train_fl, _ = make_dataset(out / "data", tuple(range(12)), n_utts=utts,
-                               seconds=2.0, seed=seed)
+    # 1. corpus: --filelist trains on real recordings (wav-path-first rows,
+    # the reference filelist format); default is the synthetic 22.05 kHz
+    # harmonic-stack corpus the acoustic proof uses.  Held-out last
+    # utterance for renders either way.
+    if filelist:
+        wav_paths = [row.split("|")[0] for row in
+                     Path(filelist).read_text().splitlines() if row.strip()]
+        if len(wav_paths) < 2:
+            raise ValueError(f"{filelist}: need >=2 utterances (one is held out)")
+    else:
+        train_fl, _ = make_dataset(out / "data", tuple(range(12)), n_utts=utts,
+                                   seconds=2.0, seed=seed)
+        wav_paths = [row.split("|")[0] for row in train_fl.read_text().splitlines()]
+    # --gen_mels_dir: FINE-TUNING mode — condition on the acoustic model's
+    # teacher-forced mels (emojivoice-get-durations --gen_mels) instead of
+    # ground-truth mels, cropped time-aligned with the real wav.  The
+    # reference vendors exactly this branch (meldataset.py:168-200,
+    # fine_tuning=True/base_mels_path) but never wires it to a trainer.
+    # The generator learns to invert its OWN acoustic front-end's output —
+    # the classic vocoder fine-tune recipe.  The mel-L1 loss target is
+    # unaffected: the train step recomputes it in-graph from the GT wav
+    # (vocoder_train.py mel_target — the reference's separate fmax_loss
+    # mel_spectrogram, meldataset.py:201-211).
+    mel_dir = Path(gen_mels_dir) if gen_mels_dir else None
     pairs = []
-    for line in train_fl.read_text().splitlines():
-        wav, sr = load_wav(line.split("|")[0])
-        assert sr == cfg.sampling_rate
-        mel = mel_spectrogram_np(wav, n_fft, cfg.num_mels, sr, hop, win_size, 0.0, 8000.0)
+    for path in wav_paths:
+        wav, sr = load_wav(path)
+        assert sr == cfg.sampling_rate, f"{path}: {sr} != {cfg.sampling_rate}"
+        if mel_dir is not None:
+            mel = np.load(mel_dir / f"{Path(path).stem}.npy").astype(np.float32)
+            if mel.ndim != 2 or mel.shape[1] != cfg.num_mels:
+                raise ValueError(
+                    f"{path}: gen mel {mel.shape} is not (T, {cfg.num_mels}) "
+                    f"channels-last (emojivoice-get-durations --gen_mels layout)")
+        else:
+            mel = mel_spectrogram_np(wav, n_fft, cfg.num_mels, sr, hop, win_size, 0.0, 8000.0)
         n = min(mel.shape[0], len(wav) // hop)
         pairs.append((mel[:n], wav[: n * hop]))
     held_out = pairs.pop()
@@ -182,12 +211,18 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     for k in ("d_loss", "g_loss", "fm_loss", "adv_loss"):
         assert all(np.isfinite(r[k]) for r in records), k
 
-    # held-out mel-L1 of the render, before vs after
+    # held-out mel-L1 of the render, before vs after.  The target is the
+    # GROUND-TRUTH wav's mel (== the conditioning mel in the default mode;
+    # under --gen_mels_dir the conditioning is the acoustic model's output
+    # and the GT wav stays the thing to match — meldataset.py mel_loss)
+    target_mel = mel_spectrogram_np(held_out[1], n_fft, cfg.num_mels,
+                                    cfg.sampling_rate, hop, win_size, 0.0, 8000.0)
+
     def render_mel_l1(wav):
         m = mel_spectrogram_np(wav.astype(np.float32), n_fft, cfg.num_mels,
                                cfg.sampling_rate, hop, win_size, 0.0, 8000.0)
-        n = min(m.shape[0], render_frames)
-        return float(np.mean(np.abs(m[:n] - held_out[0][:n])))
+        n = min(m.shape[0], render_frames, target_mel.shape[0])
+        return float(np.mean(np.abs(m[:n] - target_mel[:n])))
 
     summary = {
         "steps": steps, "batch_size": batch_size,
@@ -202,6 +237,8 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
         "steps_per_sec_post_compile": round((steps - 1) / span, 3) if steps > 1 else None,
         "backend": jax.default_backend(),
         "weight_norm": True,
+        "data": "filelist" if filelist else "synthetic",
+        "fine_tuning": mel_dir is not None,  # meldataset.py fine_tuning analog
     }
     (out / "summary.json").write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary))
@@ -227,6 +264,16 @@ def main(argv=None) -> int:
     p.add_argument("--log_every", type=int, default=1,
                    help="metric cadence; >1 lets dispatches pipeline "
                         "(per-step fetches block a remote TPU every step)")
+    p.add_argument("--filelist", default=None,
+                   help="train on real recordings (wav-path-first '|' rows, "
+                        "the training filelist format) instead of the "
+                        "synthetic corpus; last utterance is held out")
+    p.add_argument("--gen_mels_dir", default=None,
+                   help="HiFi-GAN FINE-TUNING: condition on the acoustic "
+                        "model's teacher-forced mels (<stem>.npy from "
+                        "emojivoice-get-durations --gen_mels) instead of "
+                        "ground-truth mels — the reference meldataset.py "
+                        "fine_tuning/base_mels_path branch")
     a = p.parse_args(argv)
     if a.cpu:
         import jax
@@ -236,7 +283,8 @@ def main(argv=None) -> int:
                       segment_frames=a.segment_frames, utts=a.utts, seed=a.seed,
                       lr=a.lr, use_compilation_cache=a.compilation_cache,
                       gen_ckpt=a.gen_ckpt, disc_ckpt=a.disc_ckpt,
-                      log_every=a.log_every)
+                      log_every=a.log_every, filelist=a.filelist,
+                      gen_mels_dir=a.gen_mels_dir)
     return 0
 
 
