@@ -192,6 +192,7 @@ def infer_model_config_from_state_dict(
 
     hp = hparams or {}
     enc_hp = (hp.get("encoder") or {}).get("encoder_params") or {}
+    dp_hp = (hp.get("encoder") or {}).get("duration_predictor_params") or {}
     dec_hp = hp.get("decoder") or {}
     cfm_hp = hp.get("cfm") or {}
 
@@ -277,7 +278,9 @@ def infer_model_config_from_state_dict(
         ),
         duration_predictor=cfglib.DurationPredictorConfig(
             filter_channels_dp=filter_channels_dp, kernel_size=dp_kernel,
-            p_dropout=float(_hp(enc_hp, "p_dropout", 0.1)),
+            # the DP block records its own p_dropout in hparams; the
+            # reference shares the encoder's when the block is absent
+            p_dropout=float(_hp(dp_hp, "p_dropout", _hp(enc_hp, "p_dropout", 0.1))),
         ),
         decoder=cfglib.DecoderConfig(
             channels=channels,

@@ -85,6 +85,15 @@ class MultiHeadAttention(nn.Module):
         h = self.n_heads
         k_channels = self.channels // h
         rope_dim = int(k_channels * 0.5)
+        # the labml-style rotation needs an even rotated dim (cos/sin tables
+        # pair dims); the reference inherits the same constraint
+        # (text_encoder.py:97-172 builds arange(0, d, 2) caches) and would
+        # crash identically — fail with the architecture fact instead
+        if rope_dim % 2:
+            raise ValueError(
+                f"attention head dim {k_channels} (channels {self.channels} / "
+                f"{h} heads, speaker emb included) gives odd RoPE dim "
+                f"{rope_dim}; the per-head dim must be divisible by 4")
 
         q = nn.Dense(self.channels, name="conv_q")(x)
         k = nn.Dense(self.channels, name="conv_k")(x)
