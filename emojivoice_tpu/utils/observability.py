@@ -177,3 +177,130 @@ class TensorBoardWriter:
             self._tf_writer.flush()
             self._tf_writer.close()
             self._tf_writer = None
+
+
+class CSVLogger:
+    """Lightning-CSVLogger-shaped metrics file (reference:
+    configs/logger/csv.yaml): one wide ``metrics.csv`` with a ``step``
+    column plus one column per metric tag, a row per logged step.  Rows are
+    buffered and the whole file rewritten on flush so late-appearing tags
+    (val/*, probe/*) still get proper columns."""
+
+    def __init__(self, log_dir: str):
+        self.path = Path(log_dir) / "metrics.csv"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._rows: dict[int, dict] = {}
+        self._tags: list[str] = []
+
+    def scalar(self, tag: str, value: float, step: int):
+        if tag not in self._tags:
+            self._tags.append(tag)
+        self._rows.setdefault(int(step), {})[tag] = float(value)
+
+    def image(self, tag: str, image_hwc, step: int):
+        pass  # CSV carries scalars only (Lightning's does the same)
+
+    def flush(self):
+        import csv
+
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["step"] + self._tags)
+            w.writeheader()
+            for step in sorted(self._rows):
+                w.writerow({"step": step, **self._rows[step]})
+
+    def close(self):
+        self.flush()
+
+
+class WandbLogger:
+    """Weights & Biases adapter (reference: configs/logger/wandb.yaml),
+    gated on the ``wandb`` package — absent in hermetic environments, in
+    which case construction raises ImportError (the factory below skips it
+    with a warning instead of crashing the run)."""
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            import wandb  # noqa: F401, PLC0415
+
+            return True
+        except ImportError:
+            return False
+
+    def __init__(self, log_dir: str, project: str = "emojivoice-tpu",
+                 name: Optional[str] = None, **init_kw):
+        import wandb  # raises ImportError when absent — factory gates
+
+        self._wandb = wandb
+        self._run = wandb.init(project=project, name=name, dir=log_dir,
+                               **init_kw)
+
+    def scalar(self, tag: str, value: float, step: int):
+        self._run.log({tag: float(value)}, step=int(step))
+
+    def image(self, tag: str, image_hwc, step: int):
+        img = np.asarray(image_hwc)
+        if img.size == 0:
+            return
+        self._run.log({tag: self._wandb.Image(img)}, step=int(step))
+
+    def flush(self):
+        pass  # wandb streams asynchronously
+
+    def close(self):
+        self._run.finish()
+
+
+class MultiLogger:
+    """Fan-out over several scalar/image writers (the reference's
+    ``logger: many_loggers`` composition, configs/logger/many_loggers.yaml)."""
+
+    def __init__(self, writers):
+        self.writers = list(writers)
+
+    def scalar(self, tag, value, step):
+        for w in self.writers:
+            w.scalar(tag, value, step)
+
+    def image(self, tag, image_hwc, step):
+        for w in self.writers:
+            w.image(tag, image_hwc, step)
+
+    def flush(self):
+        for w in self.writers:
+            w.flush()
+
+    def close(self):
+        for w in self.writers:
+            w.close()
+
+
+LOGGER_BACKENDS = ("tensorboard", "csv", "wandb")
+
+
+def make_logger(kinds: str, log_dir: str):
+    """Build a (possibly composite) metrics writer from a comma list —
+    the analog of picking a configs/logger/*.yaml.  Unavailable backends
+    (wandb without the package) are skipped with a stderr warning rather
+    than failing the run."""
+    import sys
+
+    writers = []
+    for kind in [k.strip().lower() for k in kinds.split(",") if k.strip()]:
+        if kind in ("tensorboard", "tb"):
+            writers.append(TensorBoardWriter(log_dir))
+        elif kind == "csv":
+            writers.append(CSVLogger(log_dir))
+        elif kind == "wandb":
+            if WandbLogger.available():
+                writers.append(WandbLogger(log_dir))
+            else:
+                print("[observability] wandb requested but not installed — "
+                      "skipping that backend", file=sys.stderr)
+        else:
+            raise ValueError(
+                f"unknown logger backend {kind!r}; available: {LOGGER_BACKENDS}")
+    if not writers:  # e.g. "wandb" alone in a hermetic image
+        writers.append(TensorBoardWriter(log_dir))
+    return writers[0] if len(writers) == 1 else MultiLogger(writers)

@@ -471,6 +471,47 @@ def test_observability_utils(tmp_path):
     assert json.loads(lines[0])["value"] == 1.5
 
 
+def test_logger_backends(tmp_path, capsys):
+    """CSV/wandb/multi logger backends (reference: configs/logger/*.yaml)."""
+    import csv
+
+    from emojivoice_tpu.utils.observability import (
+        CSVLogger,
+        MultiLogger,
+        WandbLogger,
+        make_logger,
+    )
+
+    # CSV: wide format, late-appearing tags get columns, step-sorted rows
+    c = CSVLogger(str(tmp_path / "csv"))
+    c.scalar("train/loss", 2.0, step=1)
+    c.scalar("train/loss", 1.5, step=2)
+    c.scalar("val/loss", 3.0, step=2)  # appears after the header would have
+    c.image("mel", np.zeros((4, 4)), step=2)  # scalars-only: no-op, no crash
+    c.close()
+    rows = list(csv.DictReader(open(tmp_path / "csv" / "metrics.csv")))
+    assert [r["step"] for r in rows] == ["1", "2"]
+    assert rows[0]["train/loss"] == "2.0" and rows[0]["val/loss"] == ""
+    assert rows[1]["val/loss"] == "3.0"
+
+    # wandb is absent in this image: gated, factory warns and skips
+    assert not WandbLogger.available()
+    w = make_logger("tensorboard,csv,wandb", str(tmp_path / "multi"))
+    assert isinstance(w, MultiLogger) and len(w.writers) == 2
+    assert "wandb" in capsys.readouterr().err
+    w.scalar("loss", 1.0, step=1)
+    w.close()
+    assert (tmp_path / "multi" / "scalars.jsonl").exists()
+    assert (tmp_path / "multi" / "metrics.csv").exists()
+
+    # unknown backend is loud; empty resolution falls back to tensorboard
+    with pytest.raises(ValueError):
+        make_logger("mlflow", str(tmp_path / "x"))
+    from emojivoice_tpu.utils.observability import TensorBoardWriter
+
+    assert isinstance(make_logger("wandb", str(tmp_path / "fb")), TensorBoardWriter)
+
+
 def test_run_exported_speaking_rate_matches_live(pipe, tmp_path):
     """--speaking_rate passes straight through as length_scale (reference
     cli.py:297, onnx/infer.py:145) — an inversion would make the exported
