@@ -40,13 +40,30 @@ _PAGE = """<!DOCTYPE html>
   <div><label>Length scale</label><input name="length_scale" step="0.05" type="number" value="{length_scale}"></div>
   <div><label>Speaker</label><input name="spk" type="number" value="{spk}"></div>
  </div>
+ {model_row}
  <button type="submit">Synthesise</button>
 </form>
 {result}
+{examples}
 </body></html>"""
 
 
-def _render_result(res) -> str:
+def _model_row(models, selected: str) -> str:
+    """Model select + side-by-side compare toggle — shown only when more
+    than one checkpoint is loaded (the reference demo serves two models,
+    app.py:101-353)."""
+    if len(models) <= 1:
+        return ""
+    opts = "".join(
+        f'<option value="{html.escape(n)}"{" selected" if n == selected else ""}>'
+        f"{html.escape(n)}</option>" for n in models)
+    return (f'<div class="row"><div><label>Model</label>'
+            f'<select name="model">{opts}</select></div>'
+            f'<div><label>Compare all models (same text/seed)</label>'
+            f'<input name="compare" type="checkbox" value="1"></div></div>')
+
+
+def _render_result(res, title: str = "") -> str:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -68,7 +85,8 @@ def _render_result(res) -> str:
         plt.close(fig)
         img_tag = f'<img src="data:image/png;base64,{base64.b64encode(img_buf.getvalue()).decode()}">'
 
-    return f"""<div class="out">
+    head = f"<p><b>{html.escape(title)}</b></p>" if title else ""
+    return f"""<div class="out">{head}
  <p><b>Phonetised:</b> {html.escape(res.cleaned_text)}</p>
  <p><b>RTF:</b> {res.rtf:.4f} &nbsp; <b>RTF+vocoder:</b> {res.rtf_w:.4f}</p>
  <audio controls src="data:audio/wav;base64,{audio_b64}"></audio>
@@ -89,10 +107,25 @@ def _wav_stream_header(sample_rate: int, channels: int = 1, bits: int = 16) -> b
             + b"data" + struct.pack("<I", 0xFFFFFFFF))
 
 
-def make_handler(pipeline, defaults, engine=None):
+def make_handler(pipeline, defaults, engine=None, models=None, examples_html=""):
+    """models: {name: pipeline} for the reference demo's multi-checkpoint
+    compare (app.py:101-353); pipeline stays the primary (and the only one
+    the batching engine fronts).  examples_html: pre-cached canonical
+    examples rendered into the index page."""
+    models = models or {}
+    if pipeline not in models.values():
+        models = {"default": pipeline, **models}
+    primary = next(n for n, p in models.items() if p is pipeline)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
+
+        def _page(self, result="", **over):
+            ctx = {**defaults, "model_row": _model_row(models, primary),
+                   "examples": examples_html, "result": result}
+            ctx.update(over)
+            return _PAGE.format(**ctx)
 
         def _send(self, body: str, status=200, ctype="text/html; charset=utf-8"):
             data = body.encode()
@@ -104,12 +137,15 @@ def make_handler(pipeline, defaults, engine=None):
 
         def do_GET(self):
             if self.path in ("/", "/index.html"):
-                self._send(_PAGE.format(result="", **defaults))
+                self._send(self._page())
             elif self.path == "/health":
                 body = {"ok": True}
                 if engine is not None:
                     body["serving"] = engine.stats()
                 self._send(json.dumps(body), ctype="application/json")
+            elif self.path == "/api/models":
+                self._send(json.dumps({"models": list(models), "primary": primary}),
+                           ctype="application/json")
             else:
                 self._send("not found", 404)
 
@@ -171,18 +207,30 @@ def make_handler(pipeline, defaults, engine=None):
             if parsed is None:
                 return
             params, spk = parsed
+            mname = str(form.get("model", primary))
+            if mname not in models:
+                self._send(f"unknown model {mname!r}; loaded: {list(models)}", 400)
+                return
+            compare = bool(form.get("compare")) and len(models) > 1
+            if compare and "seed" not in params:
+                params["seed"] = 0  # a compare is only meaningful same-seed
             # The HTML UI shows the mel image, so the form path opts into
             # it; the JSON API keeps the lean audio-only payload (pcm16 on
             # the wire, mel skipped) on BOTH the engine and direct paths.
             want_mel = self.path == "/synthesise"
+            run = list(models.items()) if compare else [(mname, models[mname])]
+            results = []
             try:
-                if engine is not None:
-                    # dynamic batching: concurrent HTTP threads coalesce into
-                    # one padded-batch TPU dispatch (inference/serving.py)
-                    res = engine.synthesise(text, spk=spk, keep_mel=want_mel, **params)
-                else:
-                    res = pipeline.synthesise([text], spks=[spk], keep_mel=want_mel,
-                                              pcm16=True, **params)[0]
+                for name, pl in run:
+                    if engine is not None and pl is pipeline and not compare:
+                        # dynamic batching: concurrent HTTP threads coalesce
+                        # into one padded-batch TPU dispatch (inference/
+                        # serving.py); compare renders are direct per-model
+                        res = engine.synthesise(text, spk=spk, keep_mel=want_mel, **params)
+                    else:
+                        res = pl.synthesise([text], spks=[spk], keep_mel=want_mel,
+                                            pcm16=True, **params)[0]
+                    results.append((name, res))
             except (ValueError, KeyError) as e:
                 # operating-point mismatch (bundle step count), unknown
                 # language, bucket overflow: the request's fault → 400
@@ -193,17 +241,21 @@ def make_handler(pipeline, defaults, engine=None):
                 self._send(f"synthesis failed: {type(e).__name__}: {e}", 500)
                 return
             if self.path == "/api/synthesise":
-                self._send(json.dumps({
+                payload = [{
+                    "model": name,
                     "cleaned_text": res.cleaned_text,
                     "rtf": res.rtf,
                     "rtf_w": res.rtf_w,
                     "sample_rate": res.sample_rate,
                     "num_samples": int(len(res.wav)),
-                }), ctype="application/json")
+                } for name, res in results]
+                body = {"compare": payload} if compare else payload[0]
+                self._send(json.dumps(body), ctype="application/json")
             else:
-                page = _PAGE.format(result=_render_result(res),
-                                    **{**defaults, "text": html.escape(text), "spk": spk})
-                self._send(page)
+                blocks = "".join(
+                    _render_result(res, title=name if len(run) > 1 else "")
+                    for name, res in results)
+                self._send(self._page(result=blocks, text=html.escape(text), spk=spk))
 
         def _stream(self):
             """POST /api/stream — progressive WAV: audio bytes start flowing
@@ -282,8 +334,37 @@ def make_handler(pipeline, defaults, engine=None):
     return Handler
 
 
+# the reference demo's pre-cached example sentences (app.py:23-33 analog)
+EXAMPLE_TEXTS = (
+    "We propose Matcha TTS, a new approach to non autoregressive neural text to speech.",
+    "The Secret Service believed that it was very doubtful that any President would ride regularly in a vehicle with a fixed top, even though transparent.",
+)
+
+
+def cache_examples(models, texts, spk: int, steps: int, seed: int = 0) -> str:
+    """Pre-render canonical example outputs per model at startup (the
+    reference Gradio app's cache_examples=True, app.py:337-345): same
+    text/seed across models, playable from the index page with zero
+    request-time cost."""
+    blocks = []
+    for text in texts:
+        for name, pl in models.items():
+            try:
+                res = pl.synthesise([text], spks=[spk], n_timesteps=steps,
+                                    seed=seed, pcm16=True)[0]
+            except Exception as e:  # noqa: BLE001 — an example must never
+                # block serving (e.g. a bundle without this bucket)
+                blocks.append(f'<div class="out"><p><b>{html.escape(name)}</b>: '
+                              f"example failed: {html.escape(str(e))}</p></div>")
+                continue
+            title = f"{name}: {text[:60]}…" if len(text) > 60 else f"{name}: {text}"
+            blocks.append(_render_result(res, title=title))
+    return ("<h3>Cached examples</h3>" + "".join(blocks)) if blocks else ""
+
+
 def serve(pipeline, host: str = "127.0.0.1", port: int = 7860, defaults=None,
-          batching: bool = False, max_batch: int = 8, max_wait_ms: float = 10.0):
+          batching: bool = False, max_batch: int = 8, max_wait_ms: float = 10.0,
+          extra_models=None, cache_example_texts=None):
     defaults = defaults or {"text": "Hey there! I am an emoji voice. 😎",
                             # a bundle-backed pipeline fixes the step count at
                             # export: the form must post its operating point
@@ -298,10 +379,20 @@ def serve(pipeline, host: str = "127.0.0.1", port: int = 7860, defaults=None,
             kw["batch_buckets"] = pipeline.batch_buckets
             max_batch = min(max_batch, max(pipeline.batch_buckets))
         engine = BatchingEngine(pipeline, max_batch=max_batch, max_wait_ms=max_wait_ms, **kw)
-    server = ThreadingHTTPServer((host, port), make_handler(pipeline, defaults, engine))
+    models = {"default": pipeline, **(extra_models or {})}
+    examples_html = ""
+    if cache_example_texts:
+        examples_html = cache_examples(models, cache_example_texts,
+                                       spk=int(defaults["spk"]),
+                                       steps=int(defaults["steps"]))
+    server = ThreadingHTTPServer(
+        (host, port),
+        make_handler(pipeline, defaults, engine, models=models,
+                     examples_html=examples_html))
     server.engine = engine  # callers close it after shutdown()
     print(f"[webapp] serving on http://{host}:{server.server_address[1]}"
-          + (f" (batching ≤{max_batch}/{max_wait_ms}ms)" if batching else ""))
+          + (f" (batching ≤{max_batch}/{max_wait_ms}ms)" if batching else "")
+          + (f" models={list(models)}" if len(models) > 1 else ""))
     return server
 
 
@@ -319,6 +410,14 @@ def main(argv=None) -> int:
     p.add_argument("--language", default=None,
                    help="cleaning language (default: en for live pipelines, "
                         "the exported cleaners for --bundle)")
+    p.add_argument("--model", action="append", default=None, metavar="NAME=CKPT[,VOCODER]",
+                   help="load an ADDITIONAL named checkpoint for side-by-side "
+                        "compare (repeatable) — the reference demo serves two "
+                        "models this way (app.py:101-353). NAME=random gives a "
+                        "random-init model (demo without weights)")
+    p.add_argument("--cache_examples", action="store_true",
+                   help="pre-render the canonical example sentences per model "
+                        "at startup (the reference's cache_examples=True)")
     p.add_argument("--batching", action="store_true",
                    help="coalesce concurrent requests into padded-batch TPU dispatches")
     p.add_argument("--max_batch", type=int, default=8)
@@ -335,9 +434,9 @@ def main(argv=None) -> int:
     from emojivoice_tpu.text.cleaners import LANGUAGE_CLEANERS
 
     if args.bundle:
-        if args.checkpoint_path or args.vocoder or args.random_init:
+        if args.checkpoint_path or args.vocoder or args.random_init or args.model:
             p.error("--bundle serves the exported artifact; it cannot be "
-                    "combined with --checkpoint_path/--vocoder/--random_init")
+                    "combined with --checkpoint_path/--vocoder/--random_init/--model")
         from emojivoice_tpu.inference.export import BundleSynthesisPipeline
 
         # --language overrides the bundle's exported cleaners per request;
@@ -350,8 +449,21 @@ def main(argv=None) -> int:
         else:
             pipe = SynthesisPipeline.from_torch_checkpoints(
                 args.checkpoint_path, args.vocoder, cleaners=cleaners)
+    extra = {}
+    for spec in args.model or ():
+        if "=" not in spec:
+            p.error(f"--model needs NAME=CKPT[,VOCODER], got {spec!r}")
+        name, src = spec.split("=", 1)
+        if src == "random":
+            extra[name] = SynthesisPipeline.from_random(cleaners=cleaners)
+        else:
+            ckpt, _, voc = src.partition(",")
+            extra[name] = SynthesisPipeline.from_torch_checkpoints(
+                ckpt, voc or None, cleaners=cleaners)
     server = serve(pipe, args.host, args.port, batching=args.batching,
-                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+                   max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+                   extra_models=extra or None,
+                   cache_example_texts=EXAMPLE_TEXTS if args.cache_examples else None)
     try:
         server.serve_forever()
     finally:

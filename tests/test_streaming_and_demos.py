@@ -151,6 +151,59 @@ def test_webapp_http(pipe):
         server.shutdown()
 
 
+def test_webapp_multi_model_compare(pipe):
+    """Multi-checkpoint serving (the reference demo's two-model layout +
+    cached examples, app.py:101-353): /api/models lists them, the form gets
+    a model select, per-request model choice works, and compare=1 returns
+    one result per model for the same text/seed."""
+    import urllib.error
+
+    from emojivoice_tpu.apps.webapp import serve
+
+    other = SynthesisPipeline.from_random(
+        tiny_root(), seed=5, cleaners=("basic_cleaners",),
+        mel_buckets=(64, 128, 256), text_buckets=(64, 128))
+    server = serve(pipe, port=0, extra_models={"alt": other},
+                   cache_example_texts=("tiny example",),
+                   defaults={"text": "hi", "steps": 2, "temperature": 0.667,
+                             "length_scale": 1.0, "spk": 1})
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/models") as r:
+            out = json.loads(r.read())
+        assert out == {"models": ["default", "alt"], "primary": "default"}
+        # index page: model select present, cached example pre-rendered
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert '<select name="model">' in page and "Cached examples" in page
+        assert page.count("audio controls") >= 2  # one example per model
+
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/synthesise",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        one = post({"text": "hello compare", "steps": 2, "spk": 1, "model": "alt"})
+        assert one["model"] == "alt" and one["num_samples"] > 0
+        both = post({"text": "hello compare", "steps": 2, "spk": 1, "compare": 1})
+        assert [b["model"] for b in both["compare"]] == ["default", "alt"]
+        assert all(b["num_samples"] > 0 for b in both["compare"])
+        # unknown model name is the request's fault
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/synthesise",
+            data=json.dumps({"text": "x", "model": "nope"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+
 def test_webapp_stream_endpoint(pipe):
     """POST /api/stream answers a progressive WAV whose pcm16 samples equal
     the streaming-vocoder chunks for the same seed (the header is the
