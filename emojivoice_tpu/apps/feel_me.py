@@ -66,6 +66,8 @@ class FeelMe:
         denoiser_strength: float = 0.00025,
         language: str = "en",
         prompt: str = PROMPT,
+        pipelined: bool = True,
+        segment_chars: int = 120,
     ):
         self.pipeline = pipeline
         self.asr = asr or ad.default_asr()
@@ -90,18 +92,37 @@ class FeelMe:
         self.denoiser_strength = denoiser_strength
         self.language = language
         self.prompt = prompt
+        # sentence-level dispatch-ahead playback (see speak()); segment_chars
+        # bounds a spoken segment — smaller = earlier first audio
+        self.pipelined = pipelined
+        self.segment_chars = segment_chars
         self.history: List[dict] = []
 
     def speak(self, text: str, spk: int):
-        res = self.pipeline.synthesise(
-            [text],
-            spks=[spk],
+        kw = dict(
             n_timesteps=self.steps,
             temperature=self.temperature,
             length_scale=self.speaking_rate,
             denoiser_strength=self.denoiser_strength,
-            language=self.language,
-        )[0]
+        )
+        # Pipelined conversational playback: multi-sentence replies split at
+        # sentence boundaries and speak sentence i while sentence i+1
+        # synthesizes (inference/longform.py) — first audio lands after ONE
+        # sentence's synthesis, not the whole reply's.  The reference always
+        # synthesizes the full reply before any sound (feel_me.py:189-203).
+        if self.pipelined:
+            from emojivoice_tpu.inference.longform import (
+                play_longform,
+                split_text,
+            )
+
+            if len(split_text(text, self.segment_chars)) > 1:
+                play_longform(self.pipeline, text, self.sink, spk=spk,
+                              language=self.language,
+                              max_chars=self.segment_chars, **kw)
+                return None
+        res = self.pipeline.synthesise(
+            [text], spks=[spk], language=self.language, **kw)[0]
         self.sink.play(res.wav, res.sample_rate)
         return res
 
@@ -158,6 +179,12 @@ def main(argv=None) -> int:
                    default="auto", help="flax = JAX-native causal LM on the device")
     p.add_argument("--llm_model", default=None,
                    help="model name for the chosen --llm backend (default: backend-specific)")
+    p.add_argument("--no_pipelined", action="store_true",
+                   help="disable sentence-level dispatch-ahead playback "
+                        "(speak sentence i while i+1 synthesizes; on by "
+                        "default — first audio after ONE sentence's synthesis)")
+    p.add_argument("--segment_chars", type=int, default=120,
+                   help="max characters per spoken segment under pipelining")
     args = p.parse_args(argv)
 
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
@@ -194,7 +221,8 @@ def main(argv=None) -> int:
         llm = ad.default_llm(model=args.llm_model)
     app = FeelMe(pipe, asr=asr, llm=llm, voice=args.voice, steps=args.steps,
                  speaking_rate=args.speaking_rate, language=args.language,
-                 sink=ad.default_audio_sink(args.out_dir))
+                 sink=ad.default_audio_sink(args.out_dir),
+                 pipelined=not args.no_pipelined, segment_chars=args.segment_chars)
     app.run()
     return 0
 

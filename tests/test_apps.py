@@ -79,6 +79,30 @@ def test_feel_me_turn(tiny_pipe, tmp_path):
     assert len(app.history) == 4
 
 
+def test_feel_me_pipelined_multisentence(tiny_pipe, tmp_path):
+    """Multi-sentence replies speak segment-by-segment (dispatch-ahead,
+    inference/longform.py): first audio is one short segment's synthesis,
+    and each segment reaches the sink as its own play call.  The reference
+    synthesizes the whole reply before any sound (feel_me.py:189-203)."""
+    sink = FileSink(str(tmp_path))
+    llm = ScriptedLLM(["One tiny tale. Then another tale follows after it. 😁"])
+    app = FeelMe(tiny_pipe, asr=None, llm=llm, sink=sink, steps=2, language=None,
+                 segment_chars=24)
+    app.language = None
+    _, spk, spoken = app.turn("hi")
+    assert spk == 18 and "😁" not in spoken
+    assert sink.count >= 2  # segments played individually, in order
+
+    # pipelining off → one blob through the sink
+    sink2 = FileSink(str(tmp_path / "off"))
+    app2 = FeelMe(tiny_pipe, asr=None,
+                  llm=ScriptedLLM(["One tiny tale. Then another tale follows after it. 😁"]),
+                  sink=sink2, steps=2, language=None, pipelined=False)
+    app2.language = None
+    app2.turn("hi")
+    assert sink2.count == 1
+
+
 def test_file_sink_writes_valid_wav(tmp_path):
     from scipy.io import wavfile
 
