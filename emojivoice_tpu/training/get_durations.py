@@ -91,6 +91,19 @@ def main(argv=None) -> int:
     data_cfg = get_preset(args.preset).data
 
     ds = TextMelDataset(args.filelist, data_cfg)
+    # outputs key by basename stem (the reference's scheme); filelists with
+    # duplicate stems across speaker directories would silently overwrite
+    # each other and --gen_mels_dir consumers would then load the WRONG
+    # conditioning mel — fail loudly up front instead
+    seen: dict = {}
+    for p_, _, _ in ds.items:
+        stem = Path(p_).stem
+        if stem in seen and seen[stem] != p_:
+            raise SystemExit(
+                f"duplicate basename stem {stem!r} in {args.filelist}: "
+                f"{seen[stem]} and {p_} would overwrite each other under "
+                f"durations/ and gen_mels/ — rename the files or split the filelist")
+        seen[stem] = p_
     batcher = BucketBatcher(ds, args.batch_size, shuffle=False)
     out_dir = Path(args.output_dir)
     (out_dir / "durations").mkdir(parents=True, exist_ok=True)

@@ -117,20 +117,32 @@ def run_vocoder_proof(out_dir: str, steps: int = 150, batch_size: int = 16,
     # fine_tuning=True/base_mels_path) but never wires it to a trainer.
     # The generator learns to invert its OWN acoustic front-end's output —
     # the classic vocoder fine-tune recipe.  The mel-L1 loss target is
-    # unaffected: the train step recomputes it in-graph from the GT wav
-    # (vocoder_train.py mel_target — the reference's separate fmax_loss
-    # mel_spectrogram, meldataset.py:201-211).
+    # unaffected: the train step recomputes it in-graph from the GT wav at
+    # full band (vocoder_train.py mel_target, fmax sr/2 — the reference's
+    # separate fmax_loss=None mel_spectrogram, meldataset.py:201-211 +
+    # hifigan/config.py:25).
     mel_dir = Path(gen_mels_dir) if gen_mels_dir else None
     pairs = []
     for path in wav_paths:
         wav, sr = load_wav(path)
-        assert sr == cfg.sampling_rate, f"{path}: {sr} != {cfg.sampling_rate}"
+        if sr != cfg.sampling_rate:  # the reference raises too (meldataset.py:154)
+            raise ValueError(f"{path}: sample rate {sr} != {cfg.sampling_rate}")
         if mel_dir is not None:
             mel = np.load(mel_dir / f"{Path(path).stem}.npy").astype(np.float32)
             if mel.ndim != 2 or mel.shape[1] != cfg.num_mels:
                 raise ValueError(
                     f"{path}: gen mel {mel.shape} is not (T, {cfg.num_mels}) "
                     f"channels-last (emojivoice-get-durations --gen_mels layout)")
+            # a mel produced under a different hop/preset (or truncated at
+            # the get-durations mel bucket) would silently pair
+            # time-misaligned conditioning with GT audio after the min()
+            # crop below — reject when the frame count is far from the wav's
+            expect = len(wav) // hop
+            if abs(mel.shape[0] - expect) > max(4, expect // 20):
+                raise ValueError(
+                    f"{mel_dir / (Path(path).stem + '.npy')}: {mel.shape[0]} frames vs "
+                    f"~{expect} expected from {path} at hop {hop} — generated with a "
+                    f"different hop/preset, or truncated at the get-durations mel bucket?")
         else:
             mel = mel_spectrogram_np(wav, n_fft, cfg.num_mels, sr, hop, win_size, 0.0, 8000.0)
         n = min(mel.shape[0], len(wav) // hop)

@@ -112,11 +112,18 @@ def make_vocoder_train_step(cfg: HiFiGANConfig, modules, mesh=None, axis: str = 
 
         # ---- generator update ----
         a = cfg  # audio params follow the vocoder config
-        mel_target = mel_spectrogram(wav, 1024, a.num_mels, a.sampling_rate, 256, 1024, 0.0, 8000.0)
+        # LOSS mels are full-band (fmax_loss=None → sr/2 = 11.025 kHz), unlike
+        # the 8 kHz CONDITIONING mels — the upstream recipe's split (reference
+        # hifigan/config.py:25 fmax_loss: null, meldataset.py:201-211), so the
+        # loss penalizes 8-11 kHz content the conditioning never sees
+        fmax_loss = a.sampling_rate / 2.0
+        mel_target = mel_spectrogram(wav, 1024, a.num_mels, a.sampling_rate, 256, 1024,
+                                     0.0, fmax_loss)
 
         def g_loss_fn(gp):
             y_g = gen.apply(gp, mel)
-            mel_g = mel_spectrogram(y_g, 1024, a.num_mels, a.sampling_rate, 256, 1024, 0.0, 8000.0)
+            mel_g = mel_spectrogram(y_g, 1024, a.num_mels, a.sampling_rate, 256, 1024,
+                                    0.0, fmax_loss)
             loss_mel = jnp.mean(jnp.abs(mel_g - mel_target)) * MEL_LOSS_WEIGHT
             _, g_p, f_rp, f_gp = mpd.apply(disc_params["mpd"], wav, y_g)
             _, g_s, f_rs, f_gs = msd.apply(disc_params["msd"], wav, y_g)
