@@ -9,6 +9,12 @@ test-fast:
 bench:
 	python bench.py
 
+lint:
+	python tools/lint.py
+
+mfu:
+	python tools/mfu.py --out docs/artifacts/mfu.json
+
 bench-serving:
 	python tools/bench_serving.py
 
