@@ -177,30 +177,10 @@ class MatchaTTS(nn.Module):
         the reference's ambient torch RNG); None draws from rng.
         """
         cfg = self.cfg
-        spk_e = self._embed_spks(spks)
-        x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)[..., None]
         y_max_length = y.shape[1]
-        y_mask = sequence_mask(y_lengths, y_max_length).astype(jnp.float32)[..., None]
-        attn_mask = x_mask * y_mask.transpose(0, 2, 1)  # (B, T_x, T_y)
-
-        mu_x, logw = self.encoder(x, x_mask, spk_e, deterministic)
-
-        if cfg.use_precomputed_durations and durations is not None:
-            attn = generate_path(durations, attn_mask)
-        else:
-            # MAS over the Gaussian log-prior −½‖y−μ‖² + const, fully on
-            # device (reference computes this via three matmuls then syncs
-            # to CPU; matcha_tts.py:190-199).
-            const = -0.5 * math.log(2 * math.pi) * cfg.n_feats
-            y_sq = -0.5 * jnp.sum(jnp.square(y), axis=-1)  # (B, T_y)
-            cross = jnp.einsum("bxc,byc->bxy", mu_x, y)
-            mu_sq = -0.5 * jnp.sum(jnp.square(mu_x), axis=-1)  # (B, T_x)
-            log_prior = y_sq[:, None, :] + cross + mu_sq[:, :, None] + const
-            # cut gradients BEFORE the kernel (not after): MAS is
-            # non-differentiable by construction (reference wraps it in
-            # no_grad, matcha_tts.py:190) and zero input tangents let jax
-            # skip the JVP of the aliased pallas_call entirely
-            attn = maximum_path(jax.lax.stop_gradient(log_prior), attn_mask)
+        spk_e = self._embed_spks(spks)
+        x_mask, y_mask, attn_mask, mu_x, logw, attn = self._encode_align(
+            x, x_lengths, y, y_lengths, spk_e, durations, deterministic)
 
         # duration loss on log-durations (reference: matcha_tts.py:203-204).
         # Loss math in f32: bf16 integer duration counts round above 256 and
@@ -239,6 +219,104 @@ class MatchaTTS(nn.Module):
             prior_loss = jnp.asarray(0.0)
 
         return dur_loss, prior_loss, diff_loss, attn
+
+    def _encode_align(self, x, x_lengths, y, y_lengths, spk_e, durations=None,
+                      deterministic: bool = False):
+        """Shared training-forward front half: masks, encoder, MAS alignment
+        (reference: matcha_tts.py:177-199).  Used by both the loss forward
+        (`__call__`) and the convergence probe (`training_probe`)."""
+        cfg = self.cfg
+        x_mask = sequence_mask(x_lengths, x.shape[1]).astype(jnp.float32)[..., None]
+        y_mask = sequence_mask(y_lengths, y.shape[1]).astype(jnp.float32)[..., None]
+        attn_mask = x_mask * y_mask.transpose(0, 2, 1)  # (B, T_x, T_y)
+
+        mu_x, logw = self.encoder(x, x_mask, spk_e, deterministic)
+
+        if cfg.use_precomputed_durations and durations is not None:
+            attn = generate_path(durations, attn_mask)
+        else:
+            # MAS over the Gaussian log-prior −½‖y−μ‖² + const, fully on
+            # device (reference computes this via three matmuls then syncs
+            # to CPU; matcha_tts.py:190-199).
+            const = -0.5 * math.log(2 * math.pi) * cfg.n_feats
+            y_sq = -0.5 * jnp.sum(jnp.square(y), axis=-1)  # (B, T_y)
+            cross = jnp.einsum("bxc,byc->bxy", mu_x, y)
+            mu_sq = -0.5 * jnp.sum(jnp.square(mu_x), axis=-1)  # (B, T_x)
+            log_prior = y_sq[:, None, :] + cross + mu_sq[:, :, None] + const
+            # cut gradients BEFORE the kernel (not after): MAS is
+            # non-differentiable by construction (reference wraps it in
+            # no_grad, matcha_tts.py:190) and zero input tangents let jax
+            # skip the JVP of the aliased pallas_call entirely
+            attn = maximum_path(jax.lax.stop_gradient(log_prior), attn_mask)
+        return x_mask, y_mask, attn_mask, mu_x, logw, attn
+
+    def training_probe(self, x, x_lengths, y, y_lengths, spks=None,
+                       n_timesteps: int = 10, temperature: float = 0.667, rng=None):
+        """Deterministic convergence diagnostics for from-scratch training.
+
+        The reference's only from-scratch convergence evidence is loss curves
+        plus eyeballed TensorBoard alignment images
+        (Matcha-TTS/matcha/models/baselightningmodule.py:177-216).  This
+        probe makes alignment emergence *measurable* on a fixed batch:
+
+        - ``mas_durations`` (B, T_x): per-token MAS frame counts — track L1
+          drift between probes for duration *stability*;
+        - ``diagonality``: 1 − mean |aligned text index − linear diagonal| /
+          T_text over valid mel frames.  A degenerate alignment (one token
+          absorbing most frames — the random-init state) scores low; a
+          converged monotonic near-linear path approaches 1;
+        - ``dur_mse_log``: predicted-vs-MAS duration MSE in log domain (the
+          dur_loss formula, matcha_tts.py:203-204) — should → ~0;
+        - ``dur_mae_frames``: the same gap in raw frames per token;
+        - ``prior_mel_l1``: L1 of the aligned encoder mean μ_y to the target
+          mel (the encoder-only reconstruction);
+        - ``tf_mel_l1``: teacher-forced reconstruction — a full
+          ``n_timesteps``-step Euler solve conditioned on the MAS-aligned
+          μ_y, L1 to the ground-truth normalized mel.
+
+        No dropout, no segment crop, explicit rng for the solver noise.
+        """
+        spk_e = self._embed_spks(spks)
+        x_mask, y_mask, _, mu_x, logw, attn = self._encode_align(
+            x, x_lengths, y, y_lengths, spk_e, None, deterministic=True)
+
+        x_mask32 = x_mask.astype(jnp.float32)
+        y_mask32 = y_mask.astype(jnp.float32)
+        attn32 = attn.astype(jnp.float32)
+        mas_dur = jnp.sum(attn32, axis=-1)  # (B, T_x)
+        n_tokens = jnp.sum(x_lengths).astype(jnp.float32)
+
+        logw32 = logw.astype(jnp.float32)[..., 0]  # (B, T_x)
+        log_mas = jnp.log(1e-8 + mas_dur)
+        dur_mse_log = jnp.sum(jnp.square(logw32 - log_mas) * x_mask32[..., 0]) / n_tokens
+        pred_dur = jnp.exp(logw32) * x_mask32[..., 0]
+        dur_mae_frames = jnp.sum(jnp.abs(pred_dur - mas_dur) * x_mask32[..., 0]) / n_tokens
+
+        # aligned text index per mel frame vs the straight diagonal
+        xs = jnp.arange(attn.shape[1], dtype=jnp.float32)
+        idx = jnp.einsum("bxy,x->by", attn32, xs)  # (B, T_y)
+        ts = jnp.arange(attn.shape[2], dtype=jnp.float32)[None, :]
+        xl = x_lengths.astype(jnp.float32)[:, None]
+        yl = y_lengths.astype(jnp.float32)[:, None]
+        ideal = ts * (xl - 1.0) / jnp.maximum(yl - 1.0, 1.0)
+        dev = jnp.abs(idx - ideal) * y_mask32[..., 0] / jnp.maximum(xl, 1.0)
+        diagonality = 1.0 - jnp.sum(dev) / jnp.sum(y_lengths).astype(jnp.float32)
+
+        mu_y = jnp.einsum("bxy,bxc->byc", attn32, mu_x.astype(jnp.float32))
+        denom = jnp.sum(y_mask32) * self.cfg.n_feats
+        prior_mel_l1 = jnp.sum(jnp.abs(mu_y - y) * y_mask32) / denom
+
+        dec = self.decoder(mu_y, y_mask32, n_timesteps, temperature, spk_e, rng=rng)
+        tf_mel_l1 = jnp.sum(jnp.abs(dec * y_mask32 - y) * y_mask32) / denom
+
+        return {
+            "mas_durations": mas_dur,
+            "diagonality": diagonality,
+            "dur_mse_log": dur_mse_log,
+            "dur_mae_frames": dur_mae_frames,
+            "prior_mel_l1": prior_mel_l1,
+            "tf_mel_l1": tf_mel_l1,
+        }
 
     @staticmethod
     def _segment_crop(rng, y, attn, y_lengths, out_size: int):

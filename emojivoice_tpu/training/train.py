@@ -91,6 +91,19 @@ def build_parser():
                         "host-to-device transfer; the step is transfer-bound "
                         "on remote/tunneled TPUs. Quantization noise ~2e-3 "
                         "on log-mels, far below the mel parity budget")
+    p.add_argument("--loggers", default="tensorboard",
+                   help="comma list of metric backends: tensorboard | csv | "
+                        "wandb (the reference's configs/logger/*.yaml choice; "
+                        "wandb is gated on the package and skipped with a "
+                        "warning when absent). jsonl is always written")
+    p.add_argument("--probe_every", type=int, default=0,
+                   help="every N steps run MatchaTTS.training_probe on a "
+                        "fixed train batch and log alignment-emergence "
+                        "diagnostics (diagonality, MAS-duration drift, "
+                        "dur MSE, teacher-forced mel L1) under tag 'probe'. "
+                        "The measurable form of the reference's eyeballed "
+                        "TensorBoard alignment images "
+                        "(baselightningmodule.py:177-216); 0 disables")
     p.add_argument("--cache_data", action="store_true",
                    help="keep decoded items (text ids + mels) in memory after "
                         "epoch 1 — right for fine-tune-scale sets on this "
@@ -279,7 +292,7 @@ def _run(args) -> int:
     metrics_path = Path(args.out_dir) / "metrics.jsonl"
     metrics_path.parent.mkdir(parents=True, exist_ok=True)
 
-    from emojivoice_tpu.utils.observability import TensorBoardWriter
+    from emojivoice_tpu.utils.observability import make_logger
 
     class _NullTB:  # non-zero processes: no event files, same interface
         def scalar(self, *a, **k): pass
@@ -287,7 +300,7 @@ def _run(args) -> int:
         def flush(self): pass
         def close(self): pass
 
-    tb = TensorBoardWriter(str(Path(args.out_dir) / "tb")) if is_p0 else _NullTB()
+    tb = make_logger(args.loggers, str(Path(args.out_dir) / "tb")) if is_p0 else _NullTB()
 
     render_cache: dict = {}
 
@@ -356,6 +369,52 @@ def _run(args) -> int:
                 continue
             if s not in kept and s != step:
                 p.unlink(missing_ok=True)
+
+    # --- convergence probe (--probe_every): a fixed train batch measured by
+    # MatchaTTS.training_probe at a fixed cadence.  Where the reference's
+    # only alignment evidence is eyeballing TensorBoard attention images
+    # (baselightningmodule.py:177-216), this logs emergence numerically:
+    # MAS diagonality, predicted-vs-MAS duration error, MAS duration drift
+    # between probes, and teacher-forced reconstruction L1.
+    probe_batch = None
+    probe_state: dict = {}
+    if args.probe_every > 0:
+        if pcount > 1:
+            raise SystemExit("--probe_every is single-process only")
+        from emojivoice_tpu.models import MatchaTTS
+
+        probe_batcher = BucketBatcher(train_ds, min(args.batch_size, max(1, len(train_ds))),
+                                      min_mel_bucket=min_mel, shuffle=False, seed=args.seed)
+        probe_batch = next(iter(probe_batcher), None)
+        probe_model = MatchaTTS(cfg=model_cfg)
+        probe_fn = jax.jit(lambda params, x, xl, y, yl, spks: probe_model.apply(
+            params, x, xl, y, yl, spks, method=MatchaTTS.training_probe,
+            rng=jax.random.PRNGKey(0)))
+
+    def run_probe(step):
+        if probe_batch is None:
+            return
+        out = jax.device_get(probe_fn(
+            state.params, probe_batch["x"], probe_batch["x_lengths"],
+            probe_batch["y"], probe_batch["y_lengths"], probe_batch.get("spks")))
+        mas = np.asarray(out.pop("mas_durations"), np.float64)
+        prev = probe_state.get("prev_mas")
+        m = {k: float(v) for k, v in out.items()}
+        # L1 drift of the MAS path between consecutive probes — a converged
+        # alignment stops moving (first probe has no predecessor)
+        m["mas_drift_l1"] = float(np.mean(np.abs(mas - prev))) if prev is not None \
+            else float("nan")
+        probe_state["prev_mas"] = mas
+        # row-0 per-token frame counts: the degenerate random-init alignment
+        # (a few tokens absorbing everything) visibly flattens as MAS locks in
+        row0 = mas[0, : int(probe_batch["x_lengths"][0])].astype(int).tolist()
+        log_metrics("probe", step, m, extra={"mas_dur_row0": row0})
+        if is_p0:
+            print(f"[train] probe step {step}  " +
+                  "  ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+            for k, v in m.items():
+                if np.isfinite(v):
+                    tb.scalar(f"probe/{k}", v, step)
 
     overfit_set = None
     if args.overfit_batches > 0:
@@ -444,6 +503,10 @@ def _run(args) -> int:
                 base // args.val_every_steps != step_idx // args.val_every_steps:
             flush_log()  # keep metrics.jsonl ordered around the val record
             run_val(step_idx)
+        if args.probe_every > 0 and \
+                base // args.probe_every != step_idx // args.probe_every:
+            flush_log()
+            run_probe(step_idx)
         # NOTE: saves run on EVERY process — orbax is multiprocess-
         # aware (it coordinates internally and writes once); calling
         # it from process 0 alone deadlocks its sync barrier
@@ -457,6 +520,8 @@ def _run(args) -> int:
             done = True
 
     try:
+        if args.probe_every > 0 and step_idx == 0:
+            run_probe(0)  # the random-init baseline the emergence is measured against
         while not done:
             epoch += 1
             if args.max_epochs > 0 and epoch > args.max_epochs:

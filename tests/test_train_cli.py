@@ -51,6 +51,8 @@ def test_train_cli_end_to_end(dataset):
         "--num_devices", "2",
         "--render_val_samples", "1",
         "--test_filelist", str(val),  # post-fit test pass (trainer.test analog)
+        "--loggers", "tensorboard,csv",   # logger-backend choice (configs/logger/*.yaml analog)
+        "--probe_every", "2",             # alignment-emergence diagnostics cadence
     ])
     assert rc == 0
     metrics = [json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()]
@@ -67,6 +69,17 @@ def test_train_cli_end_to_end(dataset):
     assert (out / "ckpts" / "config.json").exists()
     # validation sample rendered
     assert list((out / "tb").glob("val_mel_0_*.png"))
+    # probe records: random-init baseline at step 0 plus the cadence fires,
+    # each carrying the emergence metrics and the row-0 MAS duration trace
+    probes = [m for m in metrics if m["tag"] == "probe"]
+    assert [m["step"] for m in probes][:2] == [0, 2]
+    for key in ("diagonality", "dur_mse_log", "tf_mel_l1", "mas_dur_row0"):
+        assert key in probes[0]
+    # CSV logger backend wrote the wide metrics file with probe columns
+    import csv as _csv
+    rows = list(_csv.DictReader(open(out / "tb" / "metrics.csv")))
+    assert rows and "train/loss" in rows[-1]
+    assert any(r.get("probe/diagonality") for r in rows)
 
     # resume continues from the saved step
     rc = main([
