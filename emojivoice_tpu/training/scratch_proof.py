@@ -59,8 +59,10 @@ _VOWELS = set("aeiou")
 
 
 def _char_f0(c: str) -> float:
-    """Deterministic character→pitch map over one octave."""
-    return 150.0 * 2.0 ** ((ord(c) * 7) % 12 / 12.0)
+    """Deterministic character→pitch map over two octaves — a wide spread
+    keeps adjacent characters' spectra far apart, so the Gaussian log-prior
+    discriminates tokens sharply and MAS has an unambiguous best path."""
+    return 110.0 * 2.0 ** ((ord(c) * 7) % 24 / 12.0)
 
 
 def _char_dur(c: str) -> float:
@@ -124,6 +126,8 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
                       probe_every: int = 50, seed: int = 0, utts: int = 20,
                       n_speakers: int = 3, out_size: int | None = None,
                       lr: float = 1e-3, log_every: int = 10,
+                      scheduler: str | None = None, warmup_steps: int = 0,
+                      lr_end: float = 0.0,
                       use_compilation_cache: bool = False,
                       wire_f16: bool = False,
                       length_budget: float = 0.35,
@@ -173,6 +177,9 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
         "--seed", str(seed),
         "--cache_data",
     ] + (["--out_size", str(out_size)] if out_size else [])
+      + (["--scheduler", scheduler, "--decay_steps", str(max(1, steps - warmup_steps)),
+          "--warmup_steps", str(warmup_steps), "--lr_end", str(lr_end)]
+         if scheduler else [])
       + (["--wire_f16"] if wire_f16 else []))
     assert rc == 0, "training CLI failed"
 
@@ -285,6 +292,9 @@ def main(argv=None) -> int:
     p.add_argument("--n_speakers", type=int, default=3)
     p.add_argument("--out_size", type=int, default=None)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--scheduler", default=None, choices=[None, "constant", "exponential", "cosine"])
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--lr_end", type=float, default=0.0)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--length_budget", type=float, default=0.35)
@@ -300,6 +310,8 @@ def main(argv=None) -> int:
         num_devices=args.num_devices, probe_every=args.probe_every,
         seed=args.seed, utts=args.utts, n_speakers=args.n_speakers,
         out_size=args.out_size, lr=args.lr, log_every=args.log_every,
+        scheduler=args.scheduler, warmup_steps=args.warmup_steps,
+        lr_end=args.lr_end,
         use_compilation_cache=args.compilation_cache, wire_f16=args.wire_f16,
         length_budget=args.length_budget,
         assert_emergence=not args.no_assert)
