@@ -4,7 +4,7 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q -m "not slow" -x
+	python -m pytest tests/ -q -m fast -x
 
 bench:
 	python bench.py

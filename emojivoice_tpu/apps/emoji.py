@@ -69,6 +69,11 @@ def is_emoji(ch: str) -> bool:
 
 
 def strip_emoji(text: str, replace: str = "") -> str:
+    """Drop (or replace) every emoji codepoint.
+
+    >>> strip_emoji("so cool 😎!")
+    'so cool !'
+    """
     return "".join(replace if is_emoji(c) else c for c in text)
 
 
@@ -82,6 +87,11 @@ def parse_emoji_response(
     First mapped emoji wins (reference: feel_me.py:299-308); emojis and
     round brackets are stripped (feel_me.py:309-312); empty text falls back
     to "nice" at the caller (feel_me.py:315-317).
+
+    >>> parse_emoji_response("That's great! 😎")
+    (79, "That's great!")
+    >>> parse_emoji_response("no emoji here")
+    (0, 'no emoji here')
     """
     mapping = mapping if mapping is not None else EMOJI_MAPPING
     spk = default_spk
@@ -99,7 +109,11 @@ def segment_by_emoji(text: str, mapping: Optional[Dict[str, int]] = None,
     """Split a multi-emoji text into (spk, segment) pairs — each segment is
     voiced by the emoji that terminates it (used by the storytelling demos,
     reference: hri-demo/storytelling/demo_story_script.py:162-193 processes
-    one line per emoji; this generalizes to inline switching)."""
+    one line per emoji; this generalizes to inline switching).
+
+    >>> segment_by_emoji("Once upon a time 🙂 a dragon roared 😡 the end")
+    [(12, 'Once upon a time'), (58, 'a dragon roared'), (0, 'the end')]
+    """
     mapping = mapping if mapping is not None else EMOJI_MAPPING
     segments = []
     buf = []

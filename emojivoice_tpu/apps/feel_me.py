@@ -99,6 +99,15 @@ class FeelMe:
         self.history: List[dict] = []
 
     def speak(self, text: str, spk: int):
+        """Speak ``text`` as speaker ``spk``; blocks until playback is done.
+
+        Returns the ``SynthesisResult`` when the reply was synthesized as a
+        single call.  On the pipelined multi-sentence path the per-segment
+        waveforms are played as they stream and never materialize as one
+        result — that path deliberately returns ``None`` (callers that need
+        the full waveform should use ``pipeline.synthesise`` directly or
+        construct FeelMe with ``pipelined=False``).
+        """
         kw = dict(
             n_timesteps=self.steps,
             temperature=self.temperature,

@@ -114,6 +114,11 @@ def make_handler(pipeline, defaults, engine=None, models=None, examples_html="")
     examples rendered into the index page."""
     models = models or {}
     if pipeline not in models.values():
+        if "default" in models:
+            # an extra model named "default" would shadow the primary in the
+            # merged dict and the primary-name lookup below would fail
+            raise ValueError("extra model name 'default' collides with the "
+                             "primary pipeline; pick another --model name")
         models = {"default": pipeline, **models}
     primary = next(n for n, p in models.items() if p is pipeline)
 
@@ -121,8 +126,9 @@ def make_handler(pipeline, defaults, engine=None, models=None, examples_html="")
         def log_message(self, fmt, *args):  # quiet
             pass
 
-        def _page(self, result="", **over):
-            ctx = {**defaults, "model_row": _model_row(models, primary),
+        def _page(self, result="", model=None, **over):
+            ctx = {**defaults,
+                   "model_row": _model_row(models, model or primary),
                    "examples": examples_html, "result": result}
             ctx.update(over)
             return _PAGE.format(**ctx)
@@ -255,7 +261,8 @@ def make_handler(pipeline, defaults, engine=None, models=None, examples_html="")
                 blocks = "".join(
                     _render_result(res, title=name if len(run) > 1 else "")
                     for name, res in results)
-                self._send(self._page(result=blocks, text=html.escape(text), spk=spk))
+                self._send(self._page(result=blocks, model=mname,
+                                      text=html.escape(text), spk=spk))
 
         def _stream(self):
             """POST /api/stream — progressive WAV: audio bytes start flowing
@@ -454,6 +461,10 @@ def main(argv=None) -> int:
         if "=" not in spec:
             p.error(f"--model needs NAME=CKPT[,VOCODER], got {spec!r}")
         name, src = spec.split("=", 1)
+        if name == "default" or name in extra:
+            p.error(f"--model name {name!r} collides with "
+                    + ("the primary model" if name == "default"
+                       else "an earlier --model"))
         if src == "random":
             extra[name] = SynthesisPipeline.from_random(cleaners=cleaners)
         else:

@@ -54,6 +54,17 @@ def _three_digits(n: int) -> str:
 
 
 def number_to_words(n: int) -> str:
+    """Spell an integer in English words.
+
+    >>> number_to_words(0)
+    'zero'
+    >>> number_to_words(21)
+    'twenty one'
+    >>> number_to_words(-105)
+    'minus one hundred five'
+    >>> number_to_words(2023)
+    'two thousand twenty three'
+    """
     if n < 0:
         return "minus " + number_to_words(-n)
     if n == 0:
@@ -71,6 +82,15 @@ def number_to_words(n: int) -> str:
 
 
 def ordinal_to_words(n: int) -> str:
+    """Spell an ordinal: 1 → 'first', 22 → 'twenty second'.
+
+    >>> ordinal_to_words(3)
+    'third'
+    >>> ordinal_to_words(20)
+    'twentieth'
+    >>> ordinal_to_words(101)
+    'one hundred first'
+    """
     words = number_to_words(n)
     parts = words.rsplit(" ", 1)
     last = parts[-1]
@@ -84,6 +104,15 @@ def ordinal_to_words(n: int) -> str:
 
 
 def year_to_words(n: int) -> str:
+    """Read a year the spoken way: pairs of digits, 'oh' for a 0x tail.
+
+    >>> year_to_words(1999)
+    'nineteen ninety nine'
+    >>> year_to_words(1905)
+    'nineteen oh five'
+    >>> year_to_words(2000)
+    'two thousand'
+    """
     if n % 1000 == 0:
         return number_to_words(n)
     if n % 100 == 0:

@@ -188,7 +188,8 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
     probes = [m for m in metrics if m["tag"] == "probe"]
     assert len(probes) >= 3, f"need >=3 probes, got {len(probes)}"
     first, last = probes[0], probes[-1]
-    drifts = [p["mas_drift_l1"] for p in probes if math.isfinite(p["mas_drift_l1"])]
+    drifts = [p["mas_drift_l1"] for p in probes
+              if p["mas_drift_l1"] is not None and math.isfinite(p["mas_drift_l1"])]
 
     trains = [m for m in metrics if m["tag"] == "train"]
     loss_first = float(np.mean([m["loss"] for m in trains[:5]]))

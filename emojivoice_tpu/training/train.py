@@ -333,7 +333,7 @@ def _run(args) -> int:
         if not is_p0:  # metrics are mesh-reduced, identical on every process
             return
         rec = {"tag": tag, "step": int(step), "time": dt.datetime.now().isoformat(),
-               **{k: float(v) for k, v in m.items()}}
+               **{k: (None if v is None else float(v)) for k, v in m.items()}}
         if extra:
             rec.update(extra)
         with open(metrics_path, "a") as f:
@@ -401,9 +401,11 @@ def _run(args) -> int:
         prev = probe_state.get("prev_mas")
         m = {k: float(v) for k, v in out.items()}
         # L1 drift of the MAS path between consecutive probes — a converged
-        # alignment stops moving (first probe has no predecessor)
+        # alignment stops moving.  The first probe has no predecessor: emit
+        # null, not NaN (json.dumps would write the non-standard token NaN,
+        # which strict parsers like jq reject).
         m["mas_drift_l1"] = float(np.mean(np.abs(mas - prev))) if prev is not None \
-            else float("nan")
+            else None
         probe_state["prev_mas"] = mas
         # row-0 per-token frame counts: the degenerate random-init alignment
         # (a few tokens absorbing everything) visibly flattens as MAS locks in
@@ -411,9 +413,10 @@ def _run(args) -> int:
         log_metrics("probe", step, m, extra={"mas_dur_row0": row0})
         if is_p0:
             print(f"[train] probe step {step}  " +
-                  "  ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+                  "  ".join(f"{k}={v:.4f}" for k, v in m.items()
+                            if v is not None), flush=True)
             for k, v in m.items():
-                if np.isfinite(v):
+                if v is not None and np.isfinite(v):
                     tb.scalar(f"probe/{k}", v, step)
 
     overfit_set = None

@@ -182,20 +182,27 @@ class TensorBoardWriter:
 class CSVLogger:
     """Lightning-CSVLogger-shaped metrics file (reference:
     configs/logger/csv.yaml): one wide ``metrics.csv`` with a ``step``
-    column plus one column per metric tag, a row per logged step.  Rows are
-    buffered and the whole file rewritten on flush so late-appearing tags
-    (val/*, probe/*) still get proper columns."""
+    column plus one column per metric tag, a row per logged step.
+
+    Rows are appended incrementally on flush (no unbounded buffer, no
+    O(steps²) rewrites over long runs); the file is rewritten only when a
+    late-appearing tag (val/*, probe/*) widens the header — rare, since the
+    tag set stabilizes within the first few steps.  Metrics logged for a
+    step *after* that step's row already hit disk land on an additional row
+    for the same step (readers group by the step column, like Lightning's).
+    """
 
     def __init__(self, log_dir: str):
         self.path = Path(log_dir) / "metrics.csv"
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._rows: dict[int, dict] = {}
+        self._pending: dict[int, dict] = {}
         self._tags: list[str] = []
+        self._header_tags: list[str] = []  # tags in the on-disk header
 
     def scalar(self, tag: str, value: float, step: int):
         if tag not in self._tags:
             self._tags.append(tag)
-        self._rows.setdefault(int(step), {})[tag] = float(value)
+        self._pending.setdefault(int(step), {})[tag] = float(value)
 
     def image(self, tag: str, image_hwc, step: int):
         pass  # CSV carries scalars only (Lightning's does the same)
@@ -203,11 +210,26 @@ class CSVLogger:
     def flush(self):
         import csv
 
-        with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=["step"] + self._tags)
-            w.writeheader()
-            for step in sorted(self._rows):
-                w.writerow({"step": step, **self._rows[step]})
+        if not self._pending and self._tags == self._header_tags:
+            return
+        fields = ["step"] + self._tags
+        if self._tags != self._header_tags:
+            # header changed: (re)write it, carrying already-flushed rows over
+            old_rows = []
+            if self._header_tags and self.path.exists():
+                with open(self.path, newline="") as f:
+                    old_rows = list(csv.DictReader(f))
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fields)
+                w.writeheader()
+                for row in old_rows:
+                    w.writerow({k: v for k, v in row.items() if v not in (None, "")})
+            self._header_tags = list(self._tags)
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            for step in sorted(self._pending):
+                w.writerow({"step": step, **self._pending[step]})
+        self._pending.clear()
 
     def close(self):
         self.flush()

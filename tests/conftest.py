@@ -23,6 +23,32 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# The fast tier (`make test-fast`, `-m fast`): host-side / light-compile
+# suites that finish in <5 min even when the XLA persistent cache is cold
+# (the full suite takes ~2 h in that mode — ROUND_NOTES).  Heavy-compile
+# suites (models, pipeline, parity, training) stay full-suite-only.
+FAST_MODULES = {
+    "test_apps",
+    "test_cleaners_golden",
+    "test_data",
+    "test_doctests",
+    "test_entrypoints",
+    "test_export_torch",
+    "test_game_ui",
+    "test_io",
+    "test_mas",
+    "test_mas_cpp",
+    "test_numbers",
+    "test_text",
+    "test_utils",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():

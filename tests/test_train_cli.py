@@ -75,6 +75,12 @@ def test_train_cli_end_to_end(dataset):
     assert [m["step"] for m in probes][:2] == [0, 2]
     for key in ("diagonality", "dur_mse_log", "tf_mel_l1", "mas_dur_row0"):
         assert key in probes[0]
+    # first probe has no drift predecessor: strict-JSON null, never NaN
+    # (jq and most non-Python parsers reject the bare NaN token)
+    assert probes[0]["mas_drift_l1"] is None
+    assert all(m["mas_drift_l1"] is not None for m in probes[1:])
+    for line in (out / "metrics.jsonl").read_text().splitlines():
+        json.loads(line, parse_constant=lambda c: pytest.fail(f"non-strict JSON token {c}"))
     # CSV logger backend wrote the wide metrics file with probe columns
     import csv as _csv
     rows = list(_csv.DictReader(open(out / "tb" / "metrics.csv")))
