@@ -114,21 +114,26 @@ class FeelMe:
             length_scale=self.speaking_rate,
             denoiser_strength=self.denoiser_strength,
         )
-        # Pipelined conversational playback: multi-sentence replies split at
-        # sentence boundaries and speak sentence i while sentence i+1
-        # synthesizes (inference/longform.py) — first audio lands after ONE
-        # sentence's synthesis, not the whole reply's.  The reference always
+        # TTFA-optimal conversational playback: multi-sentence replies go
+        # pipelined (speak sentence i while sentence i+1 synthesizes), long
+        # single sentences go chunked-vocoder, and short replies stay one
+        # fused dispatch — never a strategy that measurably loses to `full`
+        # at the reply's predicted length (inference/streaming.py
+        # choose_strategy, docs/artifacts/ttfa.json).  The reference always
         # synthesizes the full reply before any sound (feel_me.py:189-203).
         if self.pipelined:
-            from emojivoice_tpu.inference.longform import (
-                play_longform,
-                split_text,
+            from emojivoice_tpu.inference.streaming import (
+                auto_stream,
+                choose_strategy,
             )
 
-            if len(split_text(text, self.segment_chars)) > 1:
-                play_longform(self.pipeline, text, self.sink, spk=spk,
-                              language=self.language,
-                              max_chars=self.segment_chars, **kw)
+            chosen, _ = choose_strategy(text, self.segment_chars,
+                                        self.speaking_rate)
+            if chosen != "full":
+                for chunk in auto_stream(self.pipeline, text, spk=spk,
+                                         segment_chars=self.segment_chars,
+                                         language=self.language, **kw):
+                    self.sink.play(chunk, 22050)
                 return None
         res = self.pipeline.synthesise(
             [text], spks=[spk], language=self.language, **kw)[0]

@@ -269,10 +269,12 @@ def make_handler(pipeline, defaults, engine=None, models=None, examples_html="")
             after the first vocoder chunk instead of after the full
             utterance (streaming TTFA is chunk-cost-bound, not
             length-bound).  The body streams until EOF (no Content-Length);
-            browsers and curl play it progressively.  Long texts split into
-            segments (the long-form path), each segment chunk-vocoded.
-            Streaming rides the direct pipeline: it needs the mel-only
-            compiled stage, which exported bundles don't carry → 400."""
+            browsers and curl play it progressively.  The strategy (full
+            one-shot / pipelined per-sentence / chunked vocoder) is
+            auto-selected per request from the predicted audio length
+            (inference/streaming.py choose_strategy); `strategy=` forces
+            one.  Exported bundles carry no mel-only programs, so forced
+            `strategy=stream` on a bundle → 400 (auto degrades to full)."""
             import numpy as np
 
             form = self._read_form()
@@ -282,29 +284,35 @@ def make_handler(pipeline, defaults, engine=None, models=None, examples_html="")
             if not text:
                 self._send("text required", 400)
                 return
-            if not hasattr(pipeline, "_vocode"):
-                self._send("streaming needs a live pipeline (exported bundles "
-                           "carry no mel-only programs)", 400)
-                return
             parsed = self._parse_params(form)
             if parsed is None:
                 return
             kw, spk = parsed
-            from emojivoice_tpu.inference.longform import split_text
             from emojivoice_tpu.inference.pipeline import SAMPLE_RATE
-            from emojivoice_tpu.inference.streaming import stream_synthesise
+            from emojivoice_tpu.inference.streaming import auto_stream
+
+            # TTFA auto-select: full / pipelined / chunked-stream chosen from
+            # the text's predicted audio length so short requests are never
+            # served the chunked path that measurably loses to one fused
+            # dispatch (docs/artifacts/ttfa.json).  `strategy` in the form
+            # forces one for debugging/benchmarks.
+            strategy = form.get("strategy") or None
+            if strategy not in (None, "auto", "full", "pipelined", "stream"):
+                self._send(f"unknown strategy {strategy!r}", 400)
+                return
+            if strategy == "auto":
+                strategy = None
+            gen = auto_stream(pipeline, text, spk=spk, strategy=strategy, **kw)
 
             # Pre-flight: pull the FIRST chunk before any header goes out.
-            # stream_synthesise is a lazy generator, so request faults
-            # (unknown language, bucket overflow) would otherwise surface at
-            # first next() — after the 200 — leaving the client a
-            # "successful" empty WAV.  Materializing chunk 0 here lets those
-            # map to 400/500 like the non-stream path; it costs nothing
-            # (chunk 0 had to be computed before any byte could flow anyway).
-            segments = split_text(text)
-            first_gen = stream_synthesise(pipeline, segments[0], spk=spk, **kw)
+            # auto_stream is a lazy generator, so request faults (unknown
+            # language, bucket overflow) would otherwise surface at first
+            # next() — after the 200 — leaving the client a "successful"
+            # empty WAV.  Materializing chunk 0 here lets those map to
+            # 400/500 like the non-stream path; it costs nothing (chunk 0
+            # had to be computed before any byte could flow anyway).
             try:
-                first_chunk = next(first_gen, None)
+                first_chunk = next(gen, None)
             except (ValueError, KeyError) as e:
                 self._send(f"bad request: {e}", 400)
                 return
@@ -324,13 +332,8 @@ def make_handler(pipeline, defaults, engine=None, models=None, examples_html="")
                 self.wfile.write(_wav_stream_header(SAMPLE_RATE))
                 if first_chunk is not None:
                     self.wfile.write(_pcm(first_chunk))
-                for chunk in first_gen:
+                for chunk in gen:
                     self.wfile.write(_pcm(chunk))
-                for seg in segments[1:]:
-                    # inter-segment gap like the long-form path
-                    self.wfile.write(b"\x00\x00" * int(0.15 * SAMPLE_RATE))
-                    for chunk in stream_synthesise(pipeline, seg, spk=spk, **kw):
-                        self.wfile.write(_pcm(chunk))
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client hung up mid-stream — normal for streaming
             except Exception:  # noqa: BLE001 — a later segment failed after

@@ -248,8 +248,10 @@ def test_engine_soak_real_pipelines(flavor, tmp_path):
 def test_webapp_stream_under_concurrency(tmp_path):
     """/api/stream with several concurrent clients on the live pipeline:
     every stream delivers its full pcm16 payload (ThreadingHTTPServer thread
-    per request, pipeline program cache shared), while a bundle-backed
-    server keeps answering its 400 refusal under the same concurrency."""
+    per request, pipeline program cache shared).  A bundle-backed server
+    under the same concurrency serves auto requests by degrading to the
+    full strategy and keeps answering 400 to a FORCED strategy=stream (no
+    mel-only programs in a bundle)."""
     import json
     import urllib.error
     import urllib.request
@@ -296,9 +298,10 @@ def test_webapp_stream_under_concurrency(tmp_path):
         codes = []
 
         def refuse_client(k):
+            # forced chunked streaming: bundles carry no mel-only programs
             req = urllib.request.Request(
                 f"http://127.0.0.1:{bport}/api/stream",
-                data=json.dumps({"text": "x"}).encode(),
+                data=json.dumps({"text": "x", "strategy": "stream"}).encode(),
                 headers={"Content-Type": "application/json"})
             try:
                 urllib.request.urlopen(req, timeout=120)
@@ -312,5 +315,14 @@ def test_webapp_stream_under_concurrency(tmp_path):
         for t in threads:
             t.join(120)
         assert codes == [400, 400, 400]
+        # auto on the same bundle degrades to the full strategy → 200 + audio
+        areq = urllib.request.Request(
+            f"http://127.0.0.1:{bport}/api/stream",
+            data=json.dumps({"text": "bundle auto stream", "spk": 1,
+                             "seed": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(areq, timeout=600) as r:
+            body = r.read()
+        assert body[:4] == b"RIFF" and len(body) > 44
     finally:
         bserver.shutdown()

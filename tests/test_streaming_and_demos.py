@@ -206,9 +206,9 @@ def test_webapp_multi_model_compare(pipe):
 
 def test_webapp_stream_endpoint(pipe):
     """POST /api/stream answers a progressive WAV whose pcm16 samples equal
-    the streaming-vocoder chunks for the same seed (the header is the
-    until-EOF convention: sizes 0xFFFFFFFF), and exported-bundle backends
-    reject it with a 400 instead of crashing."""
+    the chosen strategy's chunks for the same seed (the header is the
+    until-EOF convention: sizes 0xFFFFFFFF); `strategy=` forces a path and
+    the default auto-select serves short text one fused dispatch."""
     import struct
     import urllib.error
 
@@ -218,11 +218,11 @@ def test_webapp_stream_endpoint(pipe):
     server = serve(pipe, port=0)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
-    try:
+
+    def post_stream(payload):
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/api/stream",
-            data=json.dumps({"text": "stream me", "steps": 2, "spk": 1,
-                             "seed": 11}).encode(),
+            data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"},
         )
         with urllib.request.urlopen(req, timeout=600) as r:
@@ -230,24 +230,69 @@ def test_webapp_stream_endpoint(pipe):
             body = r.read()
         assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
         assert struct.unpack("<I", body[4:8])[0] == 0xFFFFFFFF
-        sr = struct.unpack("<I", body[24:28])[0]
-        assert sr == 22050
-        got = np.frombuffer(body[44:], dtype="<i2").astype(np.float32) / 32767.0
+        assert struct.unpack("<I", body[24:28])[0] == 22050
+        return np.frombuffer(body[44:], dtype="<i2").astype(np.float32) / 32767.0
 
+    try:
+        # forced chunked-vocoder path: bit-equal to stream_synthesise
+        got = post_stream({"text": "stream me", "steps": 2, "spk": 1,
+                           "seed": 11, "strategy": "stream"})
         ref = np.concatenate(list(stream_synthesise(
             pipe, "stream me", spk=1, n_timesteps=2, seed=11)))
         ref = np.clip(ref, -1.0, 1.0)
         assert len(got) == len(ref)
         np.testing.assert_allclose(got, ref, atol=1.01 / 32767.0)
 
-        # empty text is a 400, not a dead handler
-        bad = urllib.request.Request(
-            f"http://127.0.0.1:{port}/api/stream", data=b"text=",
-        )
-        with pytest.raises(urllib.error.HTTPError):
-            urllib.request.urlopen(bad, timeout=60)
+        # default auto-select: short single-sentence text rides ONE fused
+        # dispatch (the full strategy — ttfa.json shows stream loses there)
+        got_auto = post_stream({"text": "stream me", "steps": 2, "spk": 1,
+                                "seed": 11})
+        ref_full = pipe.synthesise(["stream me"], spks=[1], n_timesteps=2,
+                                   seed=11)[0].wav
+        ref_full = np.clip(ref_full, -1.0, 1.0)
+        assert len(got_auto) == len(ref_full)
+        np.testing.assert_allclose(got_auto, ref_full, atol=1.01 / 32767.0)
+
+        # unknown strategy and empty text are 400s, not dead handlers
+        for payload in (b"text=", b"text=hi&strategy=bogus"):
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/stream", data=payload,
+            )
+            with pytest.raises(urllib.error.HTTPError):
+                urllib.request.urlopen(bad, timeout=60)
     finally:
         server.shutdown()
+
+
+def test_choose_strategy_and_auto_stream(pipe):
+    from emojivoice_tpu.inference.streaming import auto_stream, choose_strategy
+
+    # short single sentence → one fused dispatch
+    assert choose_strategy("That sounds like a wonderful plan!")[0] == "full"
+    # multi-sentence → pipelined dispatch-ahead
+    strat, segs = choose_strategy(
+        "First sentence here. And then a second one follows. And a third!",
+        segment_chars=30)
+    assert strat == "pipelined" and len(segs) > 1
+    # one long unbreakable run → chunked vocoder
+    strat, _ = choose_strategy("word " * 40, segment_chars=400)
+    assert strat == "stream"
+    # a slower speaking rate lengthens predicted audio → stream sooner
+    text = "word " * 20  # ~7.1 s predicted at rate 1.0 — under the threshold
+    assert choose_strategy(text, 400, length_scale=1.0)[0] == "full"
+    assert choose_strategy(text, 400, length_scale=2.0)[0] == "stream"
+
+    # auto full-path audio == the plain synthesise call
+    wav = np.concatenate(list(auto_stream(pipe, "hello there", spk=1,
+                                          n_timesteps=2, seed=3)))
+    ref = pipe.synthesise(["hello there"], spks=[1], n_timesteps=2, seed=3)[0].wav
+    np.testing.assert_allclose(wav, ref, atol=0)
+
+    # forcing the losing strategy still works (debug/bench hook)
+    wav_s = np.concatenate(list(auto_stream(pipe, "hello there", spk=1,
+                                            n_timesteps=2, seed=3,
+                                            strategy="stream")))
+    assert wav_s.size > 0
 
 
 def test_webapp_error_statuses(pipe):

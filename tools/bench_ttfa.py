@@ -62,7 +62,7 @@ def main() -> int:
     from emojivoice_tpu.config import enable_compilation_cache
     from emojivoice_tpu.inference.longform import stream_longform
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
-    from emojivoice_tpu.inference.streaming import stream_synthesise
+    from emojivoice_tpu.inference.streaming import auto_stream, stream_synthesise
 
     enable_compilation_cache()
     root = cfglib.get_preset(args.preset)
@@ -99,12 +99,20 @@ def main() -> int:
         stream = lambda: stream_synthesise(pipe, text, spk=spk, **kw)  # noqa: E731
         pipelined = lambda: stream_longform(pipe, text, spk=spk,  # noqa: E731
                                             max_chars=args.segment_chars, **kw)
+        auto = lambda: auto_stream(pipe, text, spk=spk,  # noqa: E731
+                                   segment_chars=args.segment_chars, **kw)
         entry = {}
-        for strat, fn in (("full", full), ("stream", stream), ("pipelined", pipelined)):
+        for strat, fn in (("full", full), ("stream", stream),
+                          ("pipelined", pipelined), ("auto", auto)):
             for c in fn():  # warm every program this strategy needs
                 pass
             entry[strat] = measure(fn)
         report["lengths"][name] = entry
+        # the selector's whole point: auto must track best-of per length
+        best = min(e["ttfa_ms"] for s, e in entry.items() if s != "auto")
+        if entry["auto"]["ttfa_ms"] > 1.25 * best:
+            print(f"[ttfa] WARNING {name}: auto {entry['auto']['ttfa_ms']}ms "
+                  f"vs best {best}ms", file=sys.stderr, flush=True)
         print(f"[ttfa] {name}: " + "  ".join(
             f"{s}={e['ttfa_ms']}ms/{e['audio_s']}s" for s, e in entry.items()),
             file=sys.stderr, flush=True)
