@@ -77,6 +77,108 @@ def _wait_for_backend(max_wait_s: float = 900.0, probe_cmd=None,
         delay = min(delay * 1.5, 120.0)
 
 
+def _text_for_bucket(pipe, bucket: int, lo: int, spk: int, base: str):
+    """A text whose PREDICTED mel length lands in (lo, bucket] — probed
+    through stage A only (encoder + duration head, no decode), so sizing the
+    sweep costs one tiny program per text bucket, not fused compiles."""
+    import numpy as np
+
+    from emojivoice_tpu.utils.masks import fix_len_compatibility
+
+    words = base.split()
+
+    def predict(text):
+        import jax
+
+        x, xl, _, tb = pipe.encode_texts([text])
+        sa = pipe._get_stage_a(tb, 1)
+        out = sa(pipe.params, x, xl, np.asarray([spk], np.int32), np.float32(1.0))
+        return int(fix_len_compatibility(int(np.max(jax.device_get(out[2])))))
+
+    # scale word count proportionally toward the bucket midpoint until the
+    # prediction fits (mel length grows ~linearly in word count)
+    n = max(3, int(len(words) * bucket / 512))
+    mid = (lo + bucket) // 2
+    for _ in range(24):
+        text = " ".join((words * ((n // len(words)) + 1))[:n])
+        ml = predict(text)
+        if lo < ml <= bucket:
+            return text, ml
+        n_new = max(3, round(n * mid / max(ml, 1)))
+        n = n_new if n_new != n else n + (1 if ml <= lo else -1)
+    raise RuntimeError(f"could not size a text for mel bucket {bucket}")
+
+
+def _run_sweep(pipe, steps: int, headline_text: str) -> list:
+    """Secondary sweep (VERDICT r5 #2): RTF/throughput across mel buckets ×
+    batch sizes plus the 11-emoji-voice single padded call (BASELINE
+    'Batched emoji synthesis').  The headline metric stays batch-1/512;
+    every row here carries its own shape so deltas are explainable."""
+    import datetime as _dt
+
+    import numpy as np
+
+    rows = []
+    texts = {}
+    for lo, bucket in ((128, 256), (256, 512), (512, 1024)):
+        try:
+            texts[bucket] = _text_for_bucket(pipe, bucket, lo, 79, headline_text)
+        except Exception as e:  # noqa: BLE001 — a sizing failure drops the
+            # bucket's rows, not the bench
+            rows.append({"case": f"m{bucket}", "error": f"{type(e).__name__}: {e}"})
+    for bucket, (text, ml_pred) in texts.items():
+        for batch in (1, 8, 32):
+            case = f"m{bucket}_b{batch}"
+            try:
+                kw = dict(spks=[79] * batch, n_timesteps=steps, fused=True,
+                          fused_mel_bucket=bucket, keep_mel=False, pcm16=True)
+                pipe.synthesise([text] * batch, seed=0, **kw)  # compile+warm
+                rtfs, walls, audio = [], [], 0.0
+                for i in range(5):
+                    t0 = _dt.datetime.now()
+                    rs = pipe.synthesise([text] * batch, seed=100 + i, **kw)
+                    walls.append((_dt.datetime.now() - t0).total_seconds())
+                    rtfs.append(rs[0].rtf_w)
+                    audio = float(np.mean([len(r.wav) for r in rs])) / rs[0].sample_rate
+                wall = float(np.median(walls))
+                rows.append({
+                    "case": case, "mel_bucket": bucket, "batch": batch,
+                    "pred_mel_len": ml_pred,
+                    "rtf_w_per_utt": round(float(np.median(rtfs)), 5),
+                    "utt_per_s": round(batch / wall, 2),
+                    "audio_s_per_utt": round(audio, 2),
+                    "wall_ms": round(wall * 1e3, 1),
+                })
+            except Exception as e:  # noqa: BLE001 — e.g. OOM at b32×1024
+                rows.append({"case": case, "error": f"{type(e).__name__}: {e}"})
+
+    # all 11 emoji voices in ONE compiled padded-batch call (the reference
+    # loops batched_synthesis over a DataLoader, cli.py:253-317)
+    try:
+        from emojivoice_tpu.apps.emoji import EMOJI_MAPPING
+
+        spks = list(EMOJI_MAPPING.values())
+        text11 = "Hey there! I am an emoji voice."
+        kw = dict(spks=spks, n_timesteps=steps, keep_mel=False, pcm16=True)
+        pipe.synthesise([text11] * len(spks), seed=0, **kw)  # compile+warm
+        walls, rtfs = [], []
+        for i in range(5):
+            t0 = _dt.datetime.now()
+            rs = pipe.synthesise([text11] * len(spks), seed=100 + i, **kw)
+            walls.append((_dt.datetime.now() - t0).total_seconds())
+            rtfs.append(rs[0].rtf_w)
+        wall = float(np.median(walls))
+        rows.append({
+            "case": "emoji11_one_call", "batch": len(spks),
+            "rtf_w_per_utt": round(float(np.median(rtfs)), 5),
+            "utt_per_s": round(len(spks) / wall, 2),
+            "wall_ms": round(wall * 1e3, 1),
+        })
+    except Exception as e:  # noqa: BLE001
+        rows.append({"case": "emoji11_one_call", "error": f"{type(e).__name__}: {e}"})
+    return rows
+
+
 def main() -> int:
     import jax
     import numpy as np
@@ -144,6 +246,20 @@ def main() -> int:
         "batch": 1,
         "audio_s_per_utt": round(audio_s, 2),
     }
+
+    # secondary sweep: buckets × batches + the 11-emoji one-call (skippable
+    # via EMOJIVOICE_BENCH_SWEEP=0 — e.g. when the compile cache is cold and
+    # only the headline number is wanted)
+    import os
+
+    if os.environ.get("EMOJIVOICE_BENCH_SWEEP", "1") != "0":
+        t0 = dt.datetime.now()
+        provenance["sweep"] = _run_sweep(pipe, steps, text)
+        print(f"[bench] sweep took {(dt.datetime.now() - t0).total_seconds():.0f}s",
+              file=sys.stderr)
+        for row in provenance["sweep"]:
+            print(f"[bench] sweep {row}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "rtf_e2e_10steps",
         "value": round(value, 5),

