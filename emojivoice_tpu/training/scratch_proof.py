@@ -57,6 +57,26 @@ ALIGN_TEXTS = [
 
 _VOWELS = set("aeiou")
 
+_CONNECTORS = (" and ", " then ", " while ", " until ", " because ")
+
+
+def make_texts(n: int, seed: int = 0):
+    """n deterministic texts with a WIDE length spread: 1–4 base phrases
+    joined by connectors.  Lengths span ~25 to ~120 chars, which at the
+    renderer's ~0.11 s/char covers ~2.5–13 s of audio → mel lengths across
+    four buckets (256/512/768/1024) — the corpus stresses MAS at several
+    T_text×T_mel shapes instead of one (VERDICT r5 #6)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        k = 1 + (i % 4)  # 1..4 phrases, uniformly cycled
+        parts = [ALIGN_TEXTS[int(rng.integers(len(ALIGN_TEXTS)))] for _ in range(k)]
+        text = parts[0]
+        for ptxt in parts[1:]:
+            text += _CONNECTORS[int(rng.integers(len(_CONNECTORS)))] + ptxt
+        out.append(text)
+    return out
+
 
 def _char_f0(c: str) -> float:
     """Deterministic character→pitch map over two octaves — a wide spread
@@ -101,24 +121,41 @@ def render_utterance(text: str, spk: int, sample_rate: int = 22050,
 
 
 def make_alignable_dataset(root: Path, speakers, n_utts: int = 20,
-                           sample_rate: int = 22050, seed: int = 0):
+                           sample_rate: int = 22050, seed: int = 0,
+                           long_texts: bool = False):
+    """``long_texts=True`` draws from make_texts (1–4 joined phrases, wide
+    length spread over several mel buckets); False keeps the short
+    single-phrase corpus (CPU-test scale)."""
     from scipy.io import wavfile
 
     wav_dir = root / "wavs"
     wav_dir.mkdir(parents=True, exist_ok=True)
+    texts = make_texts(n_utts, seed) if long_texts else None
     rows = []
+    stats = {"chars": [], "seconds": []}
     for i in range(n_utts):
         spk = speakers[i % len(speakers)]
-        text = ALIGN_TEXTS[i % len(ALIGN_TEXTS)]
+        text = texts[i] if long_texts else ALIGN_TEXTS[i % len(ALIGN_TEXTS)]
         wav = render_utterance(text, spk, sample_rate, seed=seed + i)
         path = wav_dir / f"u{i}.wav"
         wavfile.write(path, sample_rate, wav)
         rows.append(f"{path}|{spk}|{text}")
+        stats["chars"].append(len(text))
+        stats["seconds"].append(len(wav) / sample_rate)
     train = root / "train.txt"
     train.write_text("\n".join(rows) + "\n")
     val = root / "val.txt"
     val.write_text("\n".join(rows[:2]) + "\n")
-    return train, val
+    corpus_stats = {
+        "n_utts": n_utts, "n_speakers": len(set(speakers)),
+        "chars_min": int(np.min(stats["chars"])),
+        "chars_max": int(np.max(stats["chars"])),
+        "chars_mean": round(float(np.mean(stats["chars"])), 1),
+        "audio_s_total": round(float(np.sum(stats["seconds"])), 1),
+        "audio_s_min": round(float(np.min(stats["seconds"])), 2),
+        "audio_s_max": round(float(np.max(stats["seconds"])), 2),
+    }
+    return train, val, corpus_stats
 
 
 def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
@@ -132,7 +169,8 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
                       wire_f16: bool = False,
                       length_budget: float = 0.35,
                       assert_emergence: bool = True,
-                      assert_free_synth: bool = True) -> dict:
+                      assert_free_synth: bool = True,
+                      long_texts: bool = False) -> dict:
     """Train from random init on the alignable corpus and verify emergence.
 
     length_budget: |predicted − true| / true total-duration tolerance for the
@@ -155,8 +193,8 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
 
     root_cfg = cfglib.get_preset(preset)
     speakers = tuple(range(min(n_speakers, root_cfg.model.n_spks)))
-    train_fl, val_fl = make_alignable_dataset(out / "data", speakers,
-                                              n_utts=utts, seed=seed)
+    train_fl, val_fl, corpus_stats = make_alignable_dataset(
+        out / "data", speakers, n_utts=utts, seed=seed, long_texts=long_texts)
 
     run_dir = out / "run"
     rc = train_main([
@@ -195,6 +233,33 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
     loss_first = float(np.mean([m["loss"] for m in trains[:5]]))
     loss_last = float(np.mean([m["loss"] for m in trains[-5:]]))
 
+    # ---- compiled-shape census + sustained step rate (VERDICT r5 #6).
+    # The train CLI logs every distinct (B, T_text, T_mel) program with its
+    # first-dispatch step; over a long run new shapes must stop appearing
+    # (bounded recompiles) and the step rate must HOLD after the compile-
+    # heavy head.
+    import datetime as _dtm
+
+    shapes_rec = next((m for m in metrics if m["tag"] == "shapes"), None)
+    census = None
+    if shapes_rec is not None:
+        last_new = max(s["first_step"] for s in shapes_rec["shapes"])
+        census = {"distinct_shapes": shapes_rec["distinct_shapes"],
+                  "last_new_shape_step": last_new,
+                  "shapes": shapes_rec["shapes"]}
+    rate = None
+    if len(trains) >= 8:
+        ts = [_dtm.datetime.fromisoformat(m["time"]) for m in trains]
+        steps_arr = [m["step"] for m in trains]
+        mid = len(trains) // 2
+
+        def _rate(lo, hi):
+            span = (ts[hi] - ts[lo]).total_seconds()
+            return (steps_arr[hi] - steps_arr[lo]) / span if span > 0 else float("nan")
+
+        rate = {"first_half_steps_per_s": round(_rate(0, mid), 2),
+                "second_half_steps_per_s": round(_rate(mid, len(trains) - 1), 2)}
+
     # ---- final free synthesis of a training sentence vs its ground truth
     import dataclasses as _dc
 
@@ -231,6 +296,10 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
         "preset": preset, "steps": steps, "batch_size": batch_size,
         "devices": num_devices, "lr": lr, "seed": seed, "utts": utts,
         "speakers": list(speakers), "from_scratch": True,
+        "long_texts": long_texts,
+        "corpus": corpus_stats,
+        "shape_census": census,
+        "step_rate": rate,
         "loss_first5_mean": round(loss_first, 4),
         "loss_last5_mean": round(loss_last, 4),
         "probe_steps": [p["step"] for p in probes],
@@ -270,6 +339,16 @@ def run_scratch_proof(preset: str, out_dir: str, steps: int = 600,
             f"tf_mel_l1 did not fall: {first['tf_mel_l1']:.4f} → {last['tf_mel_l1']:.4f}"
         assert loss_last < loss_first, \
             f"loss did not decrease: {loss_first:.4f} → {loss_last:.4f}"
+        if census is not None and steps >= 1000:
+            # recompiles bounded: every program appears in the first half —
+            # a shape compiling late would mean unbounded recompile exposure
+            assert census["last_new_shape_step"] <= steps // 2, \
+                f"new program shape appeared at step {census['last_new_shape_step']}"
+        if rate is not None and steps >= 1000:
+            # the sustained rate must hold (the first half carries the
+            # compile stalls, so the second half should be at least as fast)
+            assert rate["second_half_steps_per_s"] >= 0.8 * rate["first_half_steps_per_s"], \
+                f"step rate decayed: {rate}"
     if assert_emergence and assert_free_synth:
         # (e) free synthesis: duration model lands within the length budget
         # and the mel beats the random-init teacher-forced reconstruction
@@ -299,6 +378,9 @@ def main(argv=None) -> int:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--length_budget", type=float, default=0.35)
+    p.add_argument("--long_texts", action="store_true",
+                   help="wide-length corpus (1-4 joined phrases, several mel "
+                        "buckets) — the realism-scaled v2 proof")
     p.add_argument("--no_assert", action="store_true",
                    help="report metrics without the emergence asserts")
     p.add_argument("--compilation_cache", action="store_true")
@@ -314,7 +396,7 @@ def main(argv=None) -> int:
         scheduler=args.scheduler, warmup_steps=args.warmup_steps,
         lr_end=args.lr_end,
         use_compilation_cache=args.compilation_cache, wire_f16=args.wire_f16,
-        length_budget=args.length_budget,
+        length_budget=args.length_budget, long_texts=args.long_texts,
         assert_emergence=not args.no_assert)
     if args.artifact_dir:
         art = Path(args.artifact_dir)

@@ -243,7 +243,13 @@ def make_train_multi_step(model_cfg: ModelConfig, opt_cfg: OptimizerConfig, mesh
             st = jax.tree.map(lambda n, o: jnp.where(mask > 0, n, o), new_st, st)
             return st, m
 
-        return jax.lax.scan(body, state, (batches, step_mask))
+        # unroll=True: the rolled scan double-buffers the ~190 MB
+        # params+adam carry every iteration — measured ~24 ms/step against
+        # 4.6 ms/step for the identical math as straight-line code on a
+        # v5e (the carry copies cost 5×).  K is small (≤ steps_per_dispatch,
+        # typically ≤ 8), so full unrolling is cheap to compile and lets
+        # XLA treat the carry as pure dataflow, no per-iteration copies.
+        return jax.lax.scan(body, state, (batches, step_mask), unroll=True)
 
     if mesh is None:
         return jax.jit(multi_fn, donate_argnums=(0,))

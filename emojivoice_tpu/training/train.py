@@ -522,6 +522,7 @@ def _run(args) -> int:
         if 0 < args.max_steps <= step_idx:
             done = True
 
+    seen_shapes: dict = {}  # (B, T_text, T_mel) -> first step dispatched
     try:
         if args.probe_every > 0 and step_idx == 0:
             run_probe(0)  # the random-init baseline the emergence is measured against
@@ -554,6 +555,13 @@ def _run(args) -> int:
                     dispatch_chunk()
                     if done:
                         break
+                # compiled-shape census: each distinct (B, T_text, T_mel)
+                # is one XLA program; the census proves recompiles stay
+                # bounded by the bucket grid over a long run
+                shape_key = (int(batch["x"].shape[0]), int(batch["x"].shape[1]),
+                             int(batch["y"].shape[1]))
+                if shape_key not in seen_shapes:
+                    seen_shapes[shape_key] = step_idx + len(chunk)
                 chunk.append(batch)
                 data_epoch, data_batch = shuffle_epoch, epoch_base + bi + 1
                 if len(chunk) == k_dispatch or \
@@ -569,6 +577,16 @@ def _run(args) -> int:
                 data_epoch, data_batch = batcher.epoch, 0
         dispatch_chunk()  # partial chunk left by a mid-epoch break
         flush_log()       # drain the deferred final metrics
+
+        # shape census record: how many distinct train-step programs this
+        # run compiled and when each first appeared (bounded-recompile
+        # evidence for long runs; scratch_proof asserts over it)
+        if seen_shapes:
+            log_metrics("shapes", step_idx, {}, extra={
+                "distinct_shapes": len(seen_shapes),
+                "shapes": [{"batch": b, "t_text": tx, "t_mel": ty, "first_step": s}
+                           for (b, tx, ty), s in sorted(seen_shapes.items())],
+            })
 
         # final save (save_last analog) — skip if the in-loop save already
         # wrote this exact step (orbax raises StepAlreadyExistsError; force=

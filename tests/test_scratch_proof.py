@@ -13,9 +13,19 @@ import numpy as np
 import pytest
 
 from emojivoice_tpu.training.scratch_proof import (
+    make_texts,
     render_utterance,
     run_scratch_proof,
 )
+
+
+def test_make_texts_wide_length_spread():
+    texts = make_texts(40, seed=0)
+    assert len(texts) == 40 and texts == make_texts(40, seed=0)  # deterministic
+    lens = sorted(len(t) for t in texts)
+    # 1-phrase shorts through 4-phrase longs: a real multi-bucket spread
+    assert lens[0] < 40 and lens[-1] > 90
+    assert all(t == t.lower() for t in texts)  # basic_cleaners-safe
 
 
 def test_render_utterance_is_alignable():
@@ -50,3 +60,8 @@ def test_scratch_emergence_tiny(tmp_path):
     # free-synth diagnostics are reported even when not asserted
     fs = summary["free_synth"]
     assert fs["frames_gt"] > 0 and fs["mel_l1_overlap"] > 0
+    # v2 evidence fields: corpus stats + compiled-shape census + step rate
+    assert summary["corpus"]["n_utts"] == 6
+    census = summary["shape_census"]
+    assert census is not None and census["distinct_shapes"] >= 1
+    assert all(s["first_step"] <= 24 for s in census["shapes"])

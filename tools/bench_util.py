@@ -26,13 +26,18 @@ def time_median(fn, n: int = 5) -> float:
     return float(np.median(ts))
 
 
-def amortized_ms(make_call, warm_args, n_hi: int = 8, stride: int = 4096) -> float:
+def amortized_ms(make_call, warm_args, n_hi: int = 8, stride: int = 4096,
+                 _retries: int = 2) -> float:
     """Per-call ms of `make_call(i, acc, *args) -> array`, dispatch cost removed.
 
     make_call receives the loop index i (f32-castable), the running carry acc,
     and warm_args; it must return an array whose strided sum is folded into
     the carry.  Returns (median wall of n_hi-deep loop - median wall of 1-deep
     loop) / (n_hi - 1).
+
+    For programs whose per-call time is small against dispatch jitter the
+    slope can come out ≤ 0; the measurement then escalates the loop depth
+    16× (up to twice: 8 → 128 → 2048) until per-call signal ≫ jitter.
     """
     import jax
     import jax.numpy as jnp
@@ -51,4 +56,8 @@ def amortized_ms(make_call, warm_args, n_hi: int = 8, stride: int = 4096) -> flo
     _ = float(rep_hi(*warm_args))
     t1 = time_median(lambda: float(rep1(*warm_args)))
     th = time_median(lambda: float(rep_hi(*warm_args)))
-    return (th - t1) / (n_hi - 1)
+    ms = (th - t1) / (n_hi - 1)
+    if ms <= 0 and _retries > 0:
+        return amortized_ms(make_call, warm_args, n_hi=n_hi * 16, stride=stride,
+                            _retries=_retries - 1)
+    return ms
