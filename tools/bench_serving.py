@@ -94,25 +94,34 @@ def measure_open_loop(eng, rate: float, window_s: float, seed: int = 0) -> dict:
     rng = random.Random(seed)
     latencies_ms: list = []
     lat_lock = threading.Lock()
-    pending = []
+    drained = threading.Event()
+    outstanding = [0]
 
     before = eng.stats()
     t_start = time.monotonic()
     i = 0
+    submitting = True
     while True:
         now = time.monotonic()
         if now - t_start >= window_s:
             break
         fut = eng.submit(TEXTS[i % 4], spk=70 + i % 8, n_timesteps=10)
         t_sub = now
+        with lat_lock:
+            outstanding[0] += 1
 
         def on_done(f, t_sub=t_sub):
             t_done = time.monotonic()
             with lat_lock:
                 latencies_ms.append((t_done - t_sub) * 1e3)
+                outstanding[0] -= 1
+                if not submitting and outstanding[0] == 0:
+                    drained.set()
 
+        # no reference to the future is kept: the wav result is GC-able the
+        # moment the callback records its latency (32 s at capacity-scale
+        # rates would otherwise pin hundreds of MB of audio)
         fut.add_done_callback(on_done)
-        pending.append(fut)
         i += 1
         # Poisson inter-arrival; sleep in small slices so a long gap can't
         # overshoot the window
@@ -123,8 +132,11 @@ def measure_open_loop(eng, rate: float, window_s: float, seed: int = 0) -> dict:
             if rem <= 0:
                 break
             time.sleep(min(rem, 0.05))
-    for f in pending:
-        f.result()
+    with lat_lock:
+        submitting = False
+        if outstanding[0] == 0:
+            drained.set()
+    drained.wait(timeout=600)
     wall = time.monotonic() - t_start
     after = eng.stats()
     d = {k: after[k] - before[k]
@@ -204,6 +216,22 @@ def main() -> int:
                 f.result()
         print(f"[serving] warmup (compile) {(dt.datetime.now()-t0).total_seconds():.1f}s",
               file=sys.stderr)
+        # settle: different text mixes hit different (text, mel) bucket
+        # combinations, each a fresh compiled program (~30 s remote).  Keep
+        # running burst rounds until one completes compile-free — measured
+        # windows must be steady-state, not compile-laden.
+        for attempt in range(10):
+            t0 = dt.datetime.now()
+            futs = [eng.submit(TEXTS[(attempt + i) % 4], spk=70 + i % 8,
+                               n_timesteps=10)
+                    for i in range(4 * args.clients)]
+            for f in futs:
+                f.result()
+            round_s = (dt.datetime.now() - t0).total_seconds()
+            print(f"[serving] settle round {attempt}: {round_s:.2f}s",
+                  file=sys.stderr, flush=True)
+            if round_s < 3.0:
+                break
 
         cap = measure_capacity(eng, args.window_s, args.clients)
         print(f"[serving] capacity: {cap['utterances_per_s']} utt/s "
